@@ -1,0 +1,153 @@
+"""NbmModel: backbone -> (attn/FPN in configured order) -> RPN -> RCNN.
+
+Functional assembly of the whole detector (reference: nbm_model.py:22-80,
+head.py:9-42, build: nbm_model.py:344-381). The eval forward is one traced
+function from a window batch to fixed-slot detections; the training forward
+exposes the two stages separately for the criterion.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .backbone import backbone_init, backbone_apply, RESNET_CHANNELS
+from .attention import sa_pyramid_init, sa_pyramid_apply
+from .fpn import build_fpn_init, build_fpn_apply
+from .rpn import rpn_init, rpn_apply, proposal_layer, Proposals
+from .rcnn import rcnn_init, rcnn_apply, fast_rcnn_inference, Detections
+from .roi import roi_pool
+
+
+class FirstStageOut(NamedTuple):
+    rois: jnp.ndarray          # (B, postN, 4)
+    roi_scores: jnp.ndarray    # (B, postN)
+    roi_valid: jnp.ndarray     # (B, postN)
+    rpn_ok: jnp.ndarray        # scalar bool
+    rpn_cls_scores: jnp.ndarray  # (B, th, tw, L*A, 2)
+    rpn_bbox_reg: jnp.ndarray    # (B, th, tw, L*A, 4)
+    fpn_out: Tuple[jnp.ndarray, ...]
+
+
+class NbmModel:
+    """Stateless model namespace: params pytree + pure apply functions."""
+
+    @staticmethod
+    def init(key, cfg) -> Dict:
+        keys = jax.random.split(key, 4)
+        backbone_channels = RESNET_CHANNELS  # reference: backbone.py:15
+        if cfg.fpn_first:
+            attn_channels = [cfg.out_fpn_chan] * len(backbone_channels)
+            attn = sa_pyramid_init(keys[1], attn_channels, cfg.pyramid_top_n_attn)
+        elif cfg.sandwich_attn:
+            attn = {
+                "0": sa_pyramid_init(keys[1], backbone_channels, cfg.pyramid_top_n_attn),
+                "1": sa_pyramid_init(
+                    jax.random.fold_in(keys[1], 1),
+                    [cfg.out_fpn_chan] * len(backbone_channels),
+                    cfg.pyramid_top_n_attn,
+                ),
+            }
+        else:
+            attn = sa_pyramid_init(keys[1], backbone_channels, cfg.pyramid_top_n_attn)
+        return {
+            "backbone": backbone_init(keys[0], cfg),
+            "attn": attn,
+            "fpn": build_fpn_init(keys[2], cfg, backbone_channels),
+            "head": {
+                "rpn": rpn_init(keys[3], cfg),
+                "rcnn": rcnn_init(jax.random.fold_in(keys[3], 1), cfg),
+            },
+        }
+
+    # ---- first stage (reference: nbm_model.py:39-54, head.py:32-38) ----
+    @staticmethod
+    def forward_first_stage(
+        params: Dict,
+        samples: jnp.ndarray,  # (B, H, W, C_in) NHWC
+        cfg,
+        training: bool = False,
+        bn_updates: Optional[dict] = None,
+    ) -> FirstStageOut:
+        feats, pos = backbone_apply(params["backbone"], samples, cfg, training, bn_updates)
+        if cfg.add_posenc:
+            feats = [f + p for f, p in zip(feats, pos)]
+        top_n = cfg.pyramid_top_n_attn
+        if cfg.fpn_first:
+            fpn_out = build_fpn_apply(params["fpn"], cfg, feats, training, bn_updates)
+            fpn_out = sa_pyramid_apply(params["attn"], fpn_out, top_n)
+        elif cfg.sandwich_attn:
+            feats = sa_pyramid_apply(params["attn"]["0"], feats, top_n)
+            fpn_out = build_fpn_apply(params["fpn"], cfg, feats, training, bn_updates)
+            fpn_out = sa_pyramid_apply(params["attn"]["1"], fpn_out, top_n)
+        else:
+            feats = sa_pyramid_apply(params["attn"], feats, top_n)
+            fpn_out = build_fpn_apply(params["fpn"], cfg, feats, training, bn_updates)
+        cls_scores, bbox_reg = rpn_apply(
+            params["head"]["rpn"], fpn_out, cfg, training, bn_updates
+        )
+        # proposals carry no gradients (reference: head.py:36-37)
+        props: Proposals = proposal_layer(
+            jax.lax.stop_gradient(cls_scores),
+            jax.lax.stop_gradient(bbox_reg),
+            cfg,
+            training=training,
+        )
+        return FirstStageOut(
+            rois=props.rois,
+            roi_scores=props.scores,
+            roi_valid=props.valid,
+            rpn_ok=props.rpn_ok,
+            rpn_cls_scores=cls_scores,
+            rpn_bbox_reg=bbox_reg,
+            fpn_out=tuple(fpn_out),
+        )
+
+    # ---- second stage ----
+    @staticmethod
+    def forward_second_stage_train(
+        params: Dict,
+        fpn_out,
+        rois: jnp.ndarray,
+        cfg,
+        bn_updates: Optional[dict] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
+        return rcnn_apply(params["head"]["rcnn"], pooled, pe, True, bn_updates)
+
+    @staticmethod
+    def forward_second_stage_eval(
+        params: Dict,
+        fpn_out,
+        rois: jnp.ndarray,
+        roi_valid: jnp.ndarray,
+        cfg,
+        nms_thresh: float = 0.3,
+        min_score: float = 0.5,
+    ) -> Detections:
+        pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
+        bbox_reg, bbox_classes = rcnn_apply(params["head"]["rcnn"], pooled, pe, False)
+        return fast_rcnn_inference(
+            bbox_reg, bbox_classes, rois, roi_valid, cfg, nms_thresh, min_score
+        )
+
+    # ---- full eval forward (reference: nbm_model.py:66-80) ----
+    @staticmethod
+    def forward(
+        params: Dict,
+        samples: jnp.ndarray,
+        cfg,
+        nms_thresh: float = 0.3,
+        min_score: float = 0.5,
+    ) -> Detections:
+        out = NbmModel.forward_first_stage(params, samples, cfg, training=False)
+        return NbmModel.forward_second_stage_eval(
+            params, out.fpn_out, out.rois, out.roi_valid, cfg, nms_thresh, min_score
+        )
+
+
+def build_model(key, cfg):
+    """-> (params, cfg). Criterion lives in train/losses.py."""
+    return NbmModel.init(key, cfg), cfg

@@ -1,0 +1,276 @@
+"""Functional NN building blocks — NHWC, explicit param pytrees.
+
+No module framework: every layer is (init_fn -> params dict, apply_fn).
+This keeps the torch-checkpoint conversion a mechanical key mapping and the
+whole forward a single traced function. Semantics (padding arithmetic, group
+conv layout, BN eps) match torch so converted weights are drop-in.
+
+Initialization follows the reference's weight_init (reference:
+nets_utils.py:149-156): kaiming-normal conv/linear weights, N(0, 0.02)
+BatchNorm scales; biases use torch's default uniform(-1/sqrt(fan_in)).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, "jnp.ndarray | Params"]
+
+BN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def kaiming_normal(key, shape_hwio):
+    """torch nn.init.kaiming_normal_ (fan_in, relu gain) on an HWIO kernel."""
+    kh, kw, i, o = shape_hwio
+    fan_in = kh * kw * i
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape_hwio, jnp.float32) * std
+
+
+def torch_default_conv_weight(key, shape_hwio, groups: int = 1):
+    """torch Conv2d default: kaiming_uniform_(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = (in/groups)*kh*kw."""
+    kh, kw, i, o = shape_hwio
+    fan_in = kh * kw * i  # i is already in/groups in HWIO grouped layout
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape_hwio, jnp.float32, -bound, bound)
+
+
+def torch_default_bias(key, out_dim: int, fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, (out_dim,), jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# conv2d
+# ---------------------------------------------------------------------------
+
+
+def conv2d_init(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel: int | Tuple[int, int],
+    groups: int = 1,
+    bias: bool = True,
+    init: str = "kaiming",
+) -> Params:
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    k_w, k_b = jax.random.split(key)
+    shape = (kh, kw, in_ch // groups, out_ch)
+    if init == "kaiming":
+        w = kaiming_normal(k_w, shape)
+    else:
+        w = torch_default_conv_weight(k_w, shape, groups)
+    p: Params = {"w": w}
+    if bias:
+        p["b"] = torch_default_bias(k_b, out_ch, kh * kw * (in_ch // groups))
+    return p
+
+
+def conv2d(
+    params: Params,
+    x: jnp.ndarray,
+    stride: int | Tuple[int, int] = 1,
+    padding: int | Tuple[int, int] = 0,
+    groups: int = 1,
+    dilation: int = 1,
+    dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """NHWC conv with torch floor-arithmetic padding semantics."""
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    ph, pw = (padding, padding) if isinstance(padding, int) else padding
+    w = params["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(x.dtype) if dtype is not None else y
+
+
+# ---------------------------------------------------------------------------
+# linear
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, in_dim: int, out_dim: int, init: str = "kaiming") -> Params:
+    k_w, k_b = jax.random.split(key)
+    if init == "kaiming":
+        # torch kaiming_normal_ on (out, in): fan_in = in_dim
+        w = jax.random.normal(k_w, (in_dim, out_dim), jnp.float32) * math.sqrt(2.0 / in_dim)
+    else:
+        bound = 1.0 / math.sqrt(in_dim)
+        w = jax.random.uniform(k_w, (in_dim, out_dim), jnp.float32, -bound, bound)
+    return {"w": w, "b": torch_default_bias(k_b, out_dim, in_dim)}
+
+
+def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return (
+        jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+    ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# batch norm (train-capable, running stats) & frozen batch norm
+# ---------------------------------------------------------------------------
+
+
+def batchnorm_init(key, ch: int, reference_init: bool = True) -> Params:
+    """reference weight_init: scale ~ N(0, 0.02); torch default bias 0."""
+    if reference_init:
+        scale = jax.random.normal(key, (ch,), jnp.float32) * 0.02
+    else:
+        scale = jnp.ones((ch,), jnp.float32)
+    return {
+        "scale": scale,
+        "bias": jnp.zeros((ch,), jnp.float32),
+        "mean": jnp.zeros((ch,), jnp.float32),
+        "var": jnp.ones((ch,), jnp.float32),
+    }
+
+
+def batchnorm(
+    params: Params,
+    x: jnp.ndarray,
+    training: bool = False,
+    momentum: float = 0.1,
+):
+    """NHWC batch norm. In training mode returns (y, new_stats) where
+    new_stats carries updated running mean/var (torch: unbiased var in the
+    running stats, biased in the normalization)."""
+    if training:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        n = np.prod([x.shape[a] for a in axes])
+        unbiased = var * (n / max(1, n - 1))
+        new_stats = {
+            "mean": (1 - momentum) * params["mean"] + momentum * mean,
+            "var": (1 - momentum) * params["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = params["mean"], params["var"]
+        new_stats = None
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    y = y.astype(x.dtype)
+    return (y, new_stats) if training else y
+
+
+def frozen_batchnorm(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """FrozenBatchNorm2d: running stats and affine are constants
+    (reference: backbone.py:26-62, eps added before rsqrt)."""
+    scale = params["scale"] * jax.lax.rsqrt(params["var"] + BN_EPS)
+    bias = params["bias"] - params["mean"] * scale
+    return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pooling / activations
+# ---------------------------------------------------------------------------
+
+
+def max_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """NHWC max pool with torch padding arithmetic (pad with -inf)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+# ---------------------------------------------------------------------------
+# DepthwiseSepConv2d — the reference's inverted bottleneck block
+# (reference: layers.py:13-46)
+# ---------------------------------------------------------------------------
+
+
+def depthwise_sep_conv_init(
+    key,
+    indim: int,
+    outdim: int,
+    kernel: int | Tuple[int, int] = 3,
+    expansion: int = 4,
+    bias_out: bool = True,
+    pe_channels: Optional[int] = None,
+) -> Params:
+    keys = jax.random.split(key, 4)
+    p: Params = {
+        # grouped conv: each input channel -> `expansion` outputs
+        "depth_wise": conv2d_init(keys[0], indim, expansion * indim, kernel,
+                                  groups=indim, init="kaiming"),
+        "pt_wise": conv2d_init(keys[1], expansion * indim, outdim, 1,
+                               bias=bias_out, init="kaiming"),
+        "norm": batchnorm_init(keys[2], outdim, reference_init=True),
+    }
+    if pe_channels is not None:
+        p["pe_proj"] = conv2d_init(keys[3], pe_channels, 2 * expansion * indim, 1,
+                                   init="kaiming")
+    return p
+
+
+def depthwise_sep_conv(
+    params: Params,
+    x: jnp.ndarray,
+    stride: float = 1,
+    kernel: int | Tuple[int, int] = 3,
+    pe: Optional[jnp.ndarray] = None,
+    training: bool = False,
+):
+    """x: NHWC. stride < 1 means bilinear (align_corners) upsampling by 1/stride
+    before the conv (reference: layers.py:33-46). FiLM-style PE modulation
+    when `pe` given: out = out * pe_scale + pe_shift."""
+    from ..ops.image import resize_bilinear_align_corners
+
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    pad = (int(0.5 * (kh - 1)), int(0.5 * (kw - 1)))
+    if stride < 1:
+        size = (np.array(x.shape[1:3]) * (1.0 / stride)).astype(np.int64)
+        x = resize_bilinear_align_corners(x, int(size[0]), int(size[1]))
+        conv_stride = 1
+    else:
+        conv_stride = int(max(1, stride))
+    indim = x.shape[-1]
+    out = conv2d(params["depth_wise"], x, stride=conv_stride, padding=pad, groups=indim)
+    if pe is not None:
+        pe_m = conv2d(params["pe_proj"], silu(pe))
+        half = pe_m.shape[-1] // 2
+        out = out * pe_m[..., :half] + pe_m[..., half:]
+    out = conv2d(params["pt_wise"], out)
+    if training:
+        out, new_stats = batchnorm(params["norm"], out, training=True)
+        return silu(out), new_stats
+    out = batchnorm(params["norm"], out, training=False)
+    return silu(out)
