@@ -195,6 +195,14 @@ class NbmConfig:
     def __post_init__(self) -> None:
         self.set_derived()
 
+    # hashable so a config can be a jit static argument (derived fields are
+    # pure functions of the declared ones, so the JSON dump is a sound key)
+    def __hash__(self) -> int:
+        return hash(self.to_json())
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, NbmConfig) and self.to_json() == other.to_json()
+
     # reference: setattr_others (nets_utils.py:405-416)
     def set_derived(self) -> None:
         if self.n_ratios == 3:

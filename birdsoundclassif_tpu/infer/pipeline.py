@@ -1,0 +1,205 @@
+"""End-to-end inference: wav file -> species-labeled boxes.
+
+The TPU-native re-design of the reference driver (reference:
+run_detection.py:28-122,163-249): the whole recording becomes one batched
+window tensor on device; the model forward, the border-box suppression, the
+window-offset shift, and the global cross-window NMS all run inside XLA.
+The host only decodes audio, computes window indices, and formats the final
+species dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import SpectrogramFrontend
+from ..audio.wavio import load_audio
+from ..config import NbmConfig
+from ..models.detector import NbmModel
+from ..models.rcnn import Detections
+from ..ops.nms import greedy_nms_in_order
+from ..utils.checkpoint import load_params
+
+_ASSET_BIRD_DICT = os.path.join(os.path.dirname(__file__), "..", "assets", "bird_dict.json")
+
+
+def load_bird_dict(path: Optional[str] = None) -> Tuple[Dict[str, int], Dict[int, str]]:
+    """Species name <-> id maps; id 0 is re-added as 'Non bird sound'
+    (reference: run_detection.py:70-73)."""
+    with open(path or _ASSET_BIRD_DICT, "r") as f:
+        birds = json.load(f)
+    birds.update({"Non bird sound": 0})
+    reverse = {i: name for name, i in birds.items()}
+    return birds, reverse
+
+
+def load_model(model_dir: str):
+    """(params, cfg) from a checkpoint directory holding `args` (JSON config,
+    reference-compatible) and params (npz / orbax / torch .pt via converter)
+    (reference: load_model, run_detection.py:87-122)."""
+    cfg = NbmConfig.load(os.path.join(model_dir, "args"))
+    params = load_params(model_dir, cfg)
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# batched model execution over windows
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "nms_thresh", "min_score"))
+def _forward_batch(params, windows, cfg, nms_thresh, min_score):
+    return NbmModel.forward(params, windows[..., None], cfg, nms_thresh, min_score)
+
+
+def detect_windows(
+    params,
+    cfg,
+    windows: jnp.ndarray,  # (n, h, w)
+    batch_size: int,
+    min_score: float,
+    nms_thresh: float = 0.3,
+) -> Detections:
+    """Run the detector over all windows in fixed-size batches and
+    concatenate the fixed-slot outputs (first n rows are real windows)."""
+    n = windows.shape[0]
+    n_pad = -(-n // batch_size) * batch_size
+    if n_pad != n:
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((n_pad - n,) + windows.shape[1:], windows.dtype)], axis=0
+        )
+    outs = []
+    for i in range(0, n_pad, batch_size):
+        outs.append(_forward_batch(params, windows[i:i + batch_size], cfg, nms_thresh,
+                                   min_score))
+    det = Detections(
+        boxes=jnp.concatenate([o.boxes for o in outs])[:n],
+        scores=jnp.concatenate([o.scores for o in outs])[:n],
+        classes=jnp.concatenate([o.classes for o in outs])[:n],
+        valid=jnp.concatenate([o.valid for o in outs])[:n],
+    )
+    return det
+
+
+# ---------------------------------------------------------------------------
+# cross-window merge (reference: merge_images, run_detection.py:163-249)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("w_pix", "hop_spectro", "num_classes", "nms_thresh",
+                                   "max_boxes"))
+def _merge_on_device(
+    boxes, scores, classes, valid, spectrogram_length,
+    w_pix: int, hop_spectro: int, num_classes: int, nms_thresh: float, max_boxes: int,
+):
+    n, r = scores.shape
+    win_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, r))
+
+    widths = boxes[..., 2] - boxes[..., 0]
+    min_border = 0.9 * (w_pix - hop_spectro)
+    at_right = boxes[..., 2] >= w_pix - 5
+    at_left = boxes[..., 0] <= 4
+    small = widths < min_border
+    if n == 1:
+        border = at_right & small
+    else:
+        is_first = win_idx == 0
+        is_last = win_idx == n - 1
+        border = jnp.where(
+            is_first, at_right & small,
+            jnp.where(is_last, at_left & small, (at_left | at_right) & small),
+        )
+    valid = valid & ~border
+
+    shift = (win_idx * hop_spectro).astype(boxes.dtype)
+    boxes = boxes.at[..., 0].add(shift).at[..., 2].add(shift)
+    valid = valid & (boxes[..., 2] < spectrogram_length)
+
+    flat_boxes = boxes.reshape(n * r, 4)
+    flat_scores = scores.reshape(n * r)
+    flat_classes = classes.reshape(n * r)
+    flat_valid = valid.reshape(n * r)
+    flat_win = win_idx.reshape(n * r)
+
+    # reference candidate order: class asc, window asc, score desc
+    sort_class = jnp.where(flat_valid, flat_classes, num_classes + 1)
+    order = jnp.lexsort((-flat_scores, flat_win, sort_class))
+    if n * r > max_boxes:
+        # capacity cap (documented deviation; candidates beyond the cap are
+        # the lowest-ranked of the candidate ordering)
+        order = order[:max_boxes]
+    ob = flat_boxes[order]
+    ov = flat_valid[order]
+    keep = greedy_nms_in_order(ob, ov, nms_thresh)
+    return ob, flat_scores[order], flat_classes[order], keep
+
+
+def merge_detections(
+    det: Detections,
+    spectrogram_length: int,
+    cfg,
+    nms_thresh: float = 0.3,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """-> {class_id_str: {"bbox_coord": (k,4), "scores": (k,)}} over classes
+    1..num_classes, empty arrays when none (reference output schema)."""
+    fe = cfg.frontend
+    boxes, scores, classes, keep = _merge_on_device(
+        det.boxes, det.scores, det.classes, det.valid,
+        jnp.float32(spectrogram_length),
+        fe.w_pix, fe.hop_spectro, cfg.num_classes, nms_thresh,
+        cfg.merge_nms_max_boxes,
+    )
+    boxes = np.asarray(boxes)
+    scores = np.asarray(scores)
+    classes = np.asarray(classes)
+    keep = np.asarray(keep)
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for j in range(1, cfg.num_classes + 1):
+        m = keep & (classes == j)
+        out[str(j)] = {
+            "bbox_coord": boxes[m] if m.any() else np.zeros((0, 4), np.float32),
+            "scores": scores[m] if m.any() else np.zeros((0,), np.float32),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# whole-file driver (reference: run_detection, run_detection.py:28-84)
+# ---------------------------------------------------------------------------
+
+
+def run_detection(
+    params,
+    cfg,
+    wav_path: str,
+    bird_dicts_path: Optional[str] = None,
+    min_score: float = 0.5,
+    bs: int = 10,
+    frontend: Optional[SpectrogramFrontend] = None,
+) -> Optional[Dict[str, Dict[str, list]]]:
+    """-> {species_name: {"bbox_coord": [[x1,y1,x2,y2], ...], "scores": [...]}}
+    for species with at least one detection; None if the audio fails to load."""
+    samples = load_audio(wav_path, cfg.frontend.sample_rate)
+    if samples is None:
+        return None
+    frontend = frontend or SpectrogramFrontend(cfg.frontend)
+    fe_res = frontend.process(samples)
+    det = detect_windows(params, cfg, fe_res.windows(), bs, min_score)
+    class_bbox = merge_detections(det, fe_res.total_frames, cfg)
+    _, reverse = load_bird_dict(bird_dicts_path)
+    output = {}
+    for idx in range(1, cfg.num_classes + 1):
+        entry = class_bbox[str(idx)]
+        if len(entry["bbox_coord"]) > 0:
+            output[reverse[idx]] = {
+                "bbox_coord": entry["bbox_coord"].tolist(),
+                "scores": entry["scores"].tolist(),
+            }
+    return output

@@ -80,16 +80,14 @@ def resnet_init(key, name: str = "resnet50") -> Dict:
     in_ch = 64
     for stage, n_blocks in enumerate(spec["layers"]):
         planes = 64 * (2 ** stage)
-        blocks = []
+        blocks = {}
         bkeys = jax.random.split(keys[1 + stage], n_blocks)
         for b in range(n_blocks):
             stride = 1 if (stage == 0 or b > 0) else 2
             has_ds = b == 0  # stage 0 block 0 changes channels (64 -> 256)
-            blocks.append(
-                _bottleneck_init(
-                    bkeys[b], in_ch, planes, stride, spec["groups"],
-                    spec["width_per_group"], has_ds,
-                )
+            blocks[str(b)] = _bottleneck_init(
+                bkeys[b], in_ch, planes, stride, spec["groups"],
+                spec["width_per_group"], has_ds,
             )
             in_ch = planes * 4
         params[f"layer{stage + 1}"] = blocks
@@ -151,7 +149,8 @@ def resnet_pyramid(
         dilate_stage = dilation and stage == 3
         if dilate_stage:
             stage_stride = 1
-        for b, bp in enumerate(blocks):
+        for b in range(len(blocks)):
+            bp = blocks[str(b)]
             stride = stage_stride if b == 0 else 1
             d = 2 if (dilate_stage and b > 0) else 1
             out = _bottleneck_apply(

@@ -173,16 +173,17 @@ def bifpn_layer_apply(params: Dict, inputs: List[jnp.ndarray], training=False,
 def bifpn_init(key, n_layers: int, channels: Sequence[int], out_cn: int) -> Dict:
     keys = jax.random.split(key, n_layers)
     return {
-        "layers": [
-            bifpn_layer_init(keys[i], channels, out_cn if i == n_layers - 1 else None)
+        "layers": {
+            str(i): bifpn_layer_init(keys[i], channels, out_cn if i == n_layers - 1 else None)
             for i in range(n_layers)
-        ]
+        }
     }
 
 
 def bifpn_apply(params: Dict, feats, training=False, bn_updates=None):
-    for i, layer in enumerate(params["layers"]):
-        feats = bifpn_layer_apply(layer, feats, training, bn_updates, f"bifpn/{i}")
+    for i in range(len(params["layers"])):
+        feats = bifpn_layer_apply(params["layers"][str(i)], feats, training, bn_updates,
+                                  f"bifpn/{i}")
     return feats
 
 

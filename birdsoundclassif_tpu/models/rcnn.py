@@ -34,10 +34,10 @@ def rcnn_init(key, cfg) -> Dict:
     keys = jax.random.split(key, cfg.depth_rcnn + 3)
     return {
         "pe_proj": fnn.conv2d_init(keys[0], c, c, 1, init="kaiming"),
-        "blocks": [
-            fnn.depthwise_sep_conv_init(keys[1 + i], c, c, pe_channels=c)
+        "blocks": {
+            str(i): fnn.depthwise_sep_conv_init(keys[1 + i], c, c, pe_channels=c)
             for i in range(cfg.depth_rcnn)
-        ],
+        },
         "bbox_reg_layer": fnn.linear_init(
             keys[cfg.depth_rcnn + 1], hidden, 4 * (1 + num_classes), init="kaiming"
         ),
@@ -59,7 +59,8 @@ def rcnn_apply(
     x = roi_pool_out.reshape(b * r, ph, pw, c)
     pe = roi_pe_out.reshape(b * r, ph, pw, c)
     pe = fnn.conv2d(params["pe_proj"], pe)
-    for i, blk in enumerate(params["blocks"]):
+    for i in range(len(params["blocks"])):
+        blk = params["blocks"][str(i)]
         if training:
             x, stats = fnn.depthwise_sep_conv(blk, x, pe=pe, training=True)
             if bn_updates is not None:

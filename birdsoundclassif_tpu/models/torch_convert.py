@@ -1,0 +1,212 @@
+"""Torch checkpoint <-> JAX pytree conversion.
+
+Maps the reference's state_dict key space (NbmModel built in
+nbm_model.py:344-381: backbone Joiner '0', SAPyramid, FPN, Faster_RCNN head)
+onto our param pytree. Layout transforms:
+
+  * conv weight (O, I, kh, kw) -> HWIO
+  * linear weight (O, I) -> (I, O)
+  * the two RCNN output linears additionally permute their input rows:
+    torch flattens RoI features as (C, ph, pw), we flatten (ph, pw, C)
+    (see models/rcnn.py)
+  * BatchNorm/FrozenBatchNorm: weight/bias/running_mean/running_var ->
+    scale/bias/mean/var (num_batches_tracked dropped, matching the
+    reference's FrozenBatchNorm2d load hook, backbone.py:42-50)
+
+The inverse direction (params -> torch state_dict) exists so the mapping is
+round-trip tested without a real checkpoint (the reference snapshot ships
+only git-LFS pointers for model_chkpt.pt).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _conv_t2j(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _conv_j2t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+
+
+def _lin_t2j(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _rcnn_lin_t2j(w: np.ndarray, c: int, ph: int, pw: int) -> np.ndarray:
+    """(out, C*ph*pw) -> (ph*pw*C, out) with the flatten-layout permute."""
+    out = w.shape[0]
+    return np.ascontiguousarray(
+        w.reshape(out, c, ph, pw).transpose(2, 3, 1, 0).reshape(ph * pw * c, out)
+    )
+
+
+def _rcnn_lin_j2t(w: np.ndarray, c: int, ph: int, pw: int) -> np.ndarray:
+    out = w.shape[1]
+    return np.ascontiguousarray(
+        w.reshape(ph, pw, c, out).transpose(3, 2, 0, 1).reshape(out, c * ph * pw)
+    )
+
+
+def _bn_pairs(prefix_t: str):
+    return [
+        (prefix_t + ".weight", "scale"),
+        (prefix_t + ".bias", "bias"),
+        (prefix_t + ".running_mean", "mean"),
+        (prefix_t + ".running_var", "var"),
+    ]
+
+
+def key_map(cfg) -> Dict[str, Tuple[str, str]]:
+    """-> {torch_key: (jax_path, transform)} where transform in
+    {conv, lin, rcnn_reg_lin, rcnn_cls_lin, raw}."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    def conv(tk, jk, bias=True):
+        m[tk + ".weight"] = (jk + "/w", "conv")
+        if bias:
+            m[tk + ".bias"] = (jk + "/b", "raw")
+
+    def lin(tk, jk):
+        m[tk + ".weight"] = (jk + "/w", "lin")
+        m[tk + ".bias"] = (jk + "/b", "raw")
+
+    def bn(tk, jk):
+        for t_suffix, j_name in _bn_pairs(tk):
+            m[t_suffix] = (jk + "/" + j_name, "raw")
+
+    # ---- backbone (Joiner '0') ----
+    if cfg.inpt_channels != 3:
+        conv("backbone.0.init_conv", "backbone/init_conv")
+    b = "backbone.0.body"
+    j = "backbone/body"
+    conv(b + ".conv1", j + "/conv1", bias=False)
+    bn(b + ".bn1", j + "/bn1")
+    from .backbone import RESNET_SPECS
+
+    spec = RESNET_SPECS[cfg.backbone]
+    for stage, n_blocks in enumerate(spec["layers"]):
+        for blk in range(n_blocks):
+            tb = f"{b}.layer{stage + 1}.{blk}"
+            jb = f"{j}/layer{stage + 1}/{blk}"
+            for ci in (1, 2, 3):
+                conv(f"{tb}.conv{ci}", f"{jb}/conv{ci}", bias=False)
+                bn(f"{tb}.bn{ci}", f"{jb}/bn{ci}")
+            if blk == 0:
+                conv(f"{tb}.downsample.0", f"{jb}/downsample/conv", bias=False)
+                bn(f"{tb}.downsample.1", f"{jb}/downsample/bn")
+
+    # ---- attention pyramid ----
+    n_layers = cfg.n_layers
+    top_n = cfg.pyramid_top_n_attn
+    attn_levels = range(n_layers) if top_n == n_layers else range(n_layers - top_n, n_layers)
+    for i in attn_levels:
+        for name in ("query", "key", "value", "final_projection"):
+            lin(f"attn.attention_modules.{i}.{name}", f"attn/{i}/{name}")
+
+    # ---- FPN ----
+    if cfg.fpn == "fpn":
+        for i in range(n_layers):
+            conv(f"fpn.pt_wise.{i}", f"fpn/pt_wise/{i}")
+            conv(f"fpn.out_convs.{i}", f"fpn/out_convs/{i}")
+
+    # ---- head: RPN ----
+    def dsc(tk, jk, pe=False):
+        conv(tk + ".depth_wise", jk + "/depth_wise")
+        conv(tk + ".pt_wise", jk + "/pt_wise")
+        bn(tk + ".norm", jk + "/norm")
+        if pe:
+            conv(tk + ".pe_proj", jk + "/pe_proj")
+
+    for i in range(n_layers):
+        dsc(f"head.rpn.convs.{i}", f"head/rpn/convs/{i}")
+        conv(f"head.rpn.cls_score.{i}", f"head/rpn/cls_score/{i}")
+        conv(f"head.rpn.bbox_reg.{i}", f"head/rpn/bbox_reg/{i}")
+
+    # ---- head: RCNN ----
+    rc_t = "head.fast_rcnn.rcnn"
+    rc_j = "head/rcnn"
+    conv(rc_t + ".pe_proj", rc_j + "/pe_proj")
+    for i in range(cfg.depth_rcnn):
+        dsc(f"{rc_t}.rcnn.{i}", f"{rc_j}/blocks/{i}", pe=True)
+    m[rc_t + ".bbox_reg_layer.weight"] = (rc_j + "/bbox_reg_layer/w", "rcnn_lin")
+    m[rc_t + ".bbox_reg_layer.bias"] = (rc_j + "/bbox_reg_layer/b", "raw")
+    m[rc_t + ".bbox_classif_layer.weight"] = (rc_j + "/bbox_classif_layer/w", "rcnn_lin")
+    m[rc_t + ".bbox_classif_layer.bias"] = (rc_j + "/bbox_classif_layer/b", "raw")
+    return m
+
+
+def state_dict_to_params(
+    state_dict: Dict[str, np.ndarray], cfg, init_params: Any = None
+) -> Any:
+    """torch state_dict (numpy values) -> our nested param dict.
+
+    When init_params is given, absent checkpoint keys keep their init
+    values — the reference's partial state-dict merge
+    (nbm_model.py:325-341)."""
+    from ..utils.checkpoint import _flatten, _unflatten
+
+    mapping = key_map(cfg)
+    c, ph, pw = cfg.out_fpn_chan, cfg.roi_pool_h, cfg.roi_pool_w
+    flat: Dict[str, np.ndarray] = dict(_flatten(init_params)) if init_params else {}
+    missing = []
+    for tk, (jk, kind) in mapping.items():
+        if tk not in state_dict:
+            missing.append(tk)
+            continue
+        v = np.asarray(state_dict[tk], dtype=np.float32)
+        if kind == "conv":
+            v = _conv_t2j(v)
+        elif kind == "lin":
+            v = _lin_t2j(v)
+        elif kind == "rcnn_lin":
+            v = _rcnn_lin_t2j(v, c, ph, pw)
+        flat[jk] = v
+    if missing:
+        print(
+            f"torch_convert: {len(missing)} keys absent from checkpoint "
+            f"(e.g. {missing[:3]})"
+        )
+    return _unflatten(flat)
+
+
+def params_to_state_dict(params: Any, cfg) -> Dict[str, np.ndarray]:
+    """Inverse mapping for round-trip tests and torch export."""
+    from ..utils.checkpoint import _flatten
+
+    flat = _flatten(params)
+    mapping = key_map(cfg)
+    c, ph, pw = cfg.out_fpn_chan, cfg.roi_pool_h, cfg.roi_pool_w
+    out: Dict[str, np.ndarray] = {}
+    for tk, (jk, kind) in mapping.items():
+        if jk not in flat:
+            continue
+        v = np.asarray(flat[jk], dtype=np.float32)
+        if kind == "conv":
+            v = _conv_j2t(v)
+        elif kind == "lin":
+            v = np.ascontiguousarray(v.T)
+        elif kind == "rcnn_lin":
+            v = _rcnn_lin_j2t(v, c, ph, pw)
+        out[tk] = v
+    return out
+
+
+def convert_torch_checkpoint(path: str, cfg, init_params: Any = None) -> Any:
+    """Load a reference model_chkpt.pt and convert (requires torch)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt["checkpoints"] if "checkpoints" in ckpt else ckpt
+    state_np = {k: v.detach().cpu().numpy() for k, v in state.items()}
+    if init_params is None:
+        import jax
+
+        from .detector import NbmModel
+
+        init_params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    return state_dict_to_params(state_np, cfg, init_params)

@@ -89,6 +89,22 @@ def greedy_nms(
 batched_greedy_nms = jax.vmap(greedy_nms, in_axes=(0, 0, 0, None))
 
 
+def greedy_nms_in_order(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+    """Greedy NMS iterating in the GIVEN order (no score sort).
+
+    The reference's nms() assumes its input is already ordered and simply
+    walks it front-to-back; the cross-window merge feeds it boxes in
+    (class, window, rank) order rather than global score order
+    (reference: run_detection.py:230-233 with nets_utils.py:210-245), so the
+    keep-set depends on that order. Returns keep mask aligned with input.
+    """
+    boxes = boxes.astype(jnp.float32)
+    if boxes.shape[0] <= _MATRIX_NMS_MAX:
+        iou = iou_matrix(boxes, boxes)
+        return _sequential_keep_from_matrix(iou, valid, iou_thresh)
+    return _sequential_keep_streaming(boxes, valid, iou_thresh)
+
+
 def select_post_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

@@ -1,0 +1,204 @@
+"""End-to-end inference pipeline tests (random weights, synthetic audio):
+output schema parity, checkpoint round-trips, CLI file writing, and
+merge semantics vs an oracle of the reference's merge_images."""
+
+import os
+import struct
+import wave
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from birdsoundclassif_tpu.config import NbmConfig
+from birdsoundclassif_tpu.models import NbmModel
+from birdsoundclassif_tpu.models.rcnn import Detections
+from birdsoundclassif_tpu.infer.pipeline import (
+    run_detection,
+    merge_detections,
+    load_bird_dict,
+    load_model,
+)
+from birdsoundclassif_tpu.utils.checkpoint import save_params, load_params, _flatten
+
+import torch_oracles as oracle
+
+
+def write_wav(path, samples, sr=44100):
+    x = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    """A tiny-but-real detector config to keep CPU tests fast."""
+    cfg = NbmConfig()
+    cfg.num_classes = 6
+    cfg.out_fpn_chan = 32
+    cfg.fpn_p_chan = 48
+    cfg.depth_rcnn = 1
+    params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+class TestCheckpointRoundtrip:
+    def test_npz_roundtrip(self, tmp_path, small_model):
+        params, cfg = small_model
+        save_params(str(tmp_path), params)
+        loaded = load_params(str(tmp_path), cfg)
+        f1, f2 = _flatten(params), _flatten(loaded)
+        assert set(f1) == set(f2)
+        for k in f1:
+            np.testing.assert_array_equal(np.asarray(f1[k]), np.asarray(f2[k]))
+
+    def test_torch_mapping_roundtrip(self, small_model):
+        from birdsoundclassif_tpu.models.torch_convert import (
+            params_to_state_dict,
+            state_dict_to_params,
+        )
+
+        params, cfg = small_model
+        sd = params_to_state_dict(params, cfg)
+        # all mapped torch keys follow the reference naming scheme
+        assert any(k.startswith("backbone.0.body.layer4") for k in sd)
+        assert "head.fast_rcnn.rcnn.bbox_reg_layer.weight" in sd
+        back = state_dict_to_params(sd, cfg, init_params=params)
+        f1, f2 = _flatten(params), _flatten(back)
+        assert set(f1) == set(f2)
+        for k in f1:
+            np.testing.assert_allclose(np.asarray(f1[k]), np.asarray(f2[k]), atol=1e-6)
+
+
+def merge_oracle(det_np, spectrogram_length, cfg, nms_thresh=0.3):
+    """reference merge_images (run_detection.py:163-249) on per-window
+    per-class outputs."""
+    boxes, scores, classes, valid = det_np
+    n, r = scores.shape
+    w_pix, hop = cfg.frontend.w_pix, cfg.frontend.hop_spectro
+    min_border = 0.9 * (w_pix - hop)
+    cand_boxes, cand_scores, cand_species = [], [], []
+    for j in range(1, cfg.num_classes + 1):
+        for i in range(n):
+            m = valid[i] & (classes[i] == j)
+            if not m.any():
+                continue
+            b = boxes[i][m]
+            s = scores[i][m]
+            order = np.argsort(-s, kind="stable")  # per-window class order
+            b, s = b[order].copy(), s[order]
+            w = b[:, 2] - b[:, 0]
+            if i == 0:
+                cond = (b[:, 2] >= w_pix - 5) & (w < min_border)
+            elif i == n - 1:
+                cond = (b[:, 0] <= 4) & (w < min_border)
+            else:
+                cond = ((b[:, 0] <= 4) | (b[:, 2] >= w_pix - 5)) & (w < min_border)
+            b, s = b[~cond], s[~cond]
+            if len(b) == 0:
+                continue
+            b[:, 0] += hop * i
+            b[:, 2] += hop * i
+            keep = b[:, 2] < spectrogram_length
+            b, s = b[keep], s[keep]
+            if len(b) == 0:
+                continue
+            cand_boxes.append(b)
+            cand_scores.append(s)
+            cand_species += [j] * len(b)
+    out = {str(j): {"bbox_coord": np.zeros((0, 4)), "scores": np.zeros(0)}
+           for j in range(1, cfg.num_classes + 1)}
+    if not cand_boxes:
+        return out
+    cb = np.concatenate(cand_boxes)
+    cs = np.concatenate(cand_scores)
+    csp = np.array(cand_species)
+    # in-order greedy NMS (the reference feeds unsorted concat to nms())
+    iou = oracle.iou_matrix_oracle(cb, cb)
+    suppress = set()
+    keep_idx = []
+    for i in range(len(cb)):
+        if i in suppress:
+            continue
+        keep_idx.append(i)
+        for jj in np.nonzero(iou[i, i + 1:] >= nms_thresh)[0]:
+            suppress.add(i + 1 + int(jj))
+    keep_idx = np.array(keep_idx)
+    for j in range(1, cfg.num_classes + 1):
+        m = csp[keep_idx] == j
+        if m.any():
+            out[str(j)] = {"bbox_coord": cb[keep_idx[m]], "scores": cs[keep_idx[m]]}
+    return out
+
+
+class TestMerge:
+    def test_vs_oracle(self, rng):
+        cfg = NbmConfig()
+        cfg.num_classes = 5
+        n, r = 4, 12
+        boxes = np.zeros((n, r, 4), np.float32)
+        boxes[..., 0] = np.round(rng.uniform(0, 1000, (n, r)))
+        boxes[..., 1] = np.round(rng.uniform(0, 300, (n, r)))
+        boxes[..., 2] = np.minimum(boxes[..., 0] + np.round(rng.uniform(3, 400, (n, r))), 1023)
+        boxes[..., 3] = np.minimum(boxes[..., 1] + np.round(rng.uniform(3, 100, (n, r))), 374)
+        scores = rng.uniform(0.01, 1, (n, r)).astype(np.float32)
+        classes = rng.integers(0, cfg.num_classes + 1, (n, r)).astype(np.int32)
+        valid = (rng.random((n, r)) > 0.3) & (classes > 0)
+        spectrogram_length = 819 * (n - 1) + 1024 - 100  # forces end-drop
+
+        det = Detections(
+            boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
+            classes=jnp.asarray(classes), valid=jnp.asarray(valid),
+        )
+        got = merge_detections(det, spectrogram_length, cfg)
+        want = merge_oracle((boxes, scores, classes, valid), spectrogram_length, cfg)
+        for j in want:
+            np.testing.assert_allclose(
+                got[j]["bbox_coord"], want[j]["bbox_coord"], atol=1e-4,
+                err_msg=f"class {j} boxes",
+            )
+            np.testing.assert_allclose(
+                got[j]["scores"], want[j]["scores"], rtol=1e-5, err_msg=f"class {j} scores"
+            )
+
+
+class TestEndToEnd:
+    def test_run_detection_schema(self, tmp_path, small_model, rng):
+        params, cfg = small_model
+        wav = str(tmp_path / "test.wav")
+        t = np.arange(44100 * 4) / 44100
+        sig = 0.3 * np.sin(2 * np.pi * 3000 * t) * (np.sin(2 * np.pi * 3 * t) > 0.5)
+        write_wav(wav, sig + 0.01 * rng.standard_normal(len(t)))
+        out = run_detection(params, cfg, wav, min_score=0.0, bs=2)
+        assert out is not None
+        _, reverse = load_bird_dict()
+        for species, entry in out.items():
+            assert species in reverse.values()
+            assert len(entry["bbox_coord"]) == len(entry["scores"])
+            for b in entry["bbox_coord"]:
+                assert len(b) == 4
+
+    def test_cli(self, tmp_path, small_model, rng, monkeypatch):
+        from birdsoundclassif_tpu.infer import cli
+
+        params, cfg = small_model
+        ckpt_dir = tmp_path / "model_weights"
+        ckpt_dir.mkdir()
+        cfg.save(str(ckpt_dir / "args"))
+        save_params(str(ckpt_dir), params)
+        audio_dir = tmp_path / "audio"
+        audio_dir.mkdir()
+        write_wav(str(audio_dir / "a.wav"),
+                  0.2 * rng.standard_normal(44100 * 2).astype(np.float32))
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(["--ckpt", str(ckpt_dir), "--audio_dir", str(audio_dir),
+                       "--min_score", "0.0", "--batch", "2"])
+        assert rc == 0
+        txt = audio_dir / "a.txt"
+        assert txt.exists()
+        parsed = eval(txt.read_text())  # reference writes python-repr dicts
+        assert isinstance(parsed, dict)
