@@ -120,7 +120,8 @@ def _bottleneck_apply(
     if "downsample" in p:
         idn = fnn.conv2d(p["downsample"]["conv"], x, stride=stride)
         idn = _norm(
-            p["downsample"]["bn"], idn, norm_kind, training, bn_updates, path + "/downsample"
+            p["downsample"]["bn"], idn, norm_kind, training, bn_updates,
+            path + "/downsample/bn",
         )
     return fnn.relu(out + idn)
 
@@ -138,7 +139,9 @@ def resnet_pyramid(
     (reference tap points: backbone.py:82-85)."""
     spec = RESNET_SPECS[name]
     out = fnn.conv2d(params["conv1"], x, stride=2, padding=3)
-    out = fnn.relu(_norm(params["bn1"], out, norm_kind, training, bn_updates, "bn1"))
+    out = fnn.relu(
+        _norm(params["bn1"], out, norm_kind, training, bn_updates, "backbone/body/bn1")
+    )
     feats = [out]  # level '2': post-relu, pre-maxpool, stride 2
     out = fnn.max_pool2d(out, 3, 2, 1)
     for stage in range(4):
@@ -155,7 +158,7 @@ def resnet_pyramid(
             d = 2 if (dilate_stage and b > 0) else 1
             out = _bottleneck_apply(
                 bp, out, stride, d, spec["groups"], norm_kind,
-                training, bn_updates, f"layer{stage + 1}/{b}",
+                training, bn_updates, f"backbone/body/layer{stage + 1}/{b}",
             )
         feats.append(out)
     return feats

@@ -77,7 +77,7 @@ def _fusion_apply(params: Dict, inputs: List[jnp.ndarray], training, bn_updates,
 def _train_dsc(p, x, bn_updates, path):
     y, stats = fnn.depthwise_sep_conv(p, x, training=True)
     if bn_updates is not None:
-        bn_updates[path] = stats
+        bn_updates[path + "/conv/norm"] = stats
     return y
 
 

@@ -64,7 +64,7 @@ def rcnn_apply(
         if training:
             x, stats = fnn.depthwise_sep_conv(blk, x, pe=pe, training=True)
             if bn_updates is not None:
-                bn_updates[f"rcnn/blocks/{i}"] = stats
+                bn_updates[f"head/rcnn/blocks/{i}/norm"] = stats
         else:
             x = fnn.depthwise_sep_conv(blk, x, pe=pe)
     # NOTE layout: flatten is (ph, pw, C); the torch reference flattens

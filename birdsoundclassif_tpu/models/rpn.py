@@ -67,7 +67,7 @@ def rpn_apply(
                 params["convs"][str(i)], fm, stride=stride, training=True
             )
             if bn_updates is not None:
-                bn_updates[f"rpn/convs/{i}"] = stats
+                bn_updates[f"head/rpn/convs/{i}/norm"] = stats
         else:
             y = fnn.depthwise_sep_conv(params["convs"][str(i)], fm, stride=stride)
         conv_out.append(adaptive_avg_pool(y, th, tw))
