@@ -1,0 +1,165 @@
+"""Training image dataset + augmentations + fixed-shape batch collation.
+
+Equivalent of the reference's Img_dataset (reference:
+nbm_datasets/image_dataset.py:13-116): positive PNG windows with box/id
+annotations, a random negative window per item, and the augmentation suite
+(additive noise scaled by image std, random gain, hard-negative mixing,
+random Butterworth low-pass applied as a log-space mask).
+
+TPU-side difference: batches are collated to fixed shapes — GT boxes padded
+to max_gt_boxes with validity masks — instead of the reference's ragged
+concat + lengths list (nets_utils.py:159-166).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def _butterworth_lowpass_mask(cutting_freq: float, h_pix: int = 375,
+                              freq_accuracy: float = 33.3) -> np.ndarray:
+    """Log-space gain column of a 1st-order analog Butterworth low-pass
+    evaluated at the spectrogram row frequencies (reference:
+    image_dataset.py:86-92)."""
+    from scipy import signal
+
+    b, a = signal.butter(1, 2 * np.pi * cutting_freq, "low", analog=True)
+    _, h = signal.freqs(b, a, worN=2 * np.pi * (500 + np.arange(h_pix) * freq_accuracy))
+    return 0.5 * np.log10(np.clip(np.abs(h), 1e-9, None)).astype(np.float32)
+
+
+class ImgDataset:
+    """Index-addressable dataset over positive windows; thread-safe reads."""
+
+    def __init__(self, dataset_path: str, transform: bool = False,
+                 rng: Optional[np.random.Generator] = None):
+        self.ds_p = dataset_path
+        self.transform = transform
+        self.rng = rng or np.random.default_rng()
+
+        def collect(sub):
+            files = []
+            root = os.path.join(dataset_path, sub)
+            if not os.path.isdir(root):
+                return files
+            for f in os.listdir(root):
+                files.extend(
+                    os.path.basename(p)
+                    for p in glob.glob(os.path.join(root, f) + "/*.png")
+                )
+            return files
+
+        self.positive_files = collect("positive_files")
+        self.negative_files = collect("negative_files")
+        self.hard_negative_files = collect("hard_neg")
+        self._annot_cache: Dict[str, pd.DataFrame] = {}
+
+    def __len__(self) -> int:
+        return len(self.positive_files)
+
+    def _load_png(self, sub: str, name: str) -> np.ndarray:
+        import imageio.v2 as imageio
+
+        splits = name.replace(".png", "").split("__")
+        folder = "__".join(splits[:-1])
+        img = imageio.imread(os.path.join(self.ds_p, sub, folder, name))
+        return np.asarray(img, np.float32) / 255.0
+
+    def _annots(self, folder: str) -> pd.DataFrame:
+        if folder not in self._annot_cache:
+            df = pd.read_csv(
+                os.path.join(self.ds_p, "positive_files", folder, "annotations.csv"),
+                sep=";",
+            )
+            df["coord"] = df["coord"].apply(eval)
+            df["bird_id"] = df["bird_id"].apply(eval)
+            self._annot_cache[folder] = df
+        return self._annot_cache[folder]
+
+    def __getitem__(self, idx: int):
+        """-> (img (h, w), neg_img (h, w), boxes (k, 4), bird_ids (k,))."""
+        rng = self.rng
+        name = self.positive_files[idx]
+        splits = name.replace(".png", "").split("__")
+        folder, fileidx = "__".join(splits[:-1]), int(splits[-1])
+        img = self._load_png("positive_files", name)
+        annot = self._annots(folder)
+        row = annot.loc[annot["index"] == fileidx, ["coord", "bird_id"]].values[0]
+        boxes, ids = np.asarray(row[0], np.float32), np.asarray(row[1], np.int64)
+        # drop class-0 (non-bird) boxes (reference: image_dataset.py:53-55)
+        keep = ids != 0
+        boxes, ids = boxes.reshape(-1, 4)[keep], ids[keep]
+
+        negp = rng.choice(self.negative_files)
+        neg_img = self._load_png("negative_files", negp)
+
+        if self.transform:
+            noise = np.clip(
+                rng.standard_normal(img.shape).astype(np.float32) * (img.std() / 2),
+                -0.5, 0.5,
+            )
+            img = img + rng.uniform(-0.1, 0.35)
+            img = img + noise
+            flips = rng.integers(0, 2, size=4)
+            if flips[0] == 1 and self.hard_negative_files:
+                hardp = rng.choice(self.hard_negative_files)
+                hard = self._load_png("hard_neg", hardp)
+                coef = rng.uniform(0.1, 0.4)
+                img = (img + coef * hard) / (1 + coef)
+                neg_coef = rng.uniform(0.5, 0.99)
+                neg_img = (neg_img + neg_coef * hard) / (1 + neg_coef)
+            if flips[1] == 1:
+                cutting_freq = rng.integers(500, 10000)
+                col = _butterworth_lowpass_mask(cutting_freq, img.shape[0])
+                img = img + col[:, None]
+        return img.astype(np.float32), neg_img.astype(np.float32), boxes, ids
+
+
+def collate_batch(items: List, max_gt: int) -> Dict[str, np.ndarray]:
+    """Fixed-shape batch: pad GT to max_gt with validity masks."""
+    b = len(items)
+    h, w = items[0][0].shape
+    batch = {
+        "img": np.stack([it[0] for it in items]),
+        "neg_img": np.stack([it[1] for it in items]),
+        "gt_boxes": np.zeros((b, max_gt, 4), np.float32),
+        "gt_valid": np.zeros((b, max_gt), bool),
+        "gt_labels": np.zeros((b, max_gt), np.int32),
+    }
+    for i, (_, _, boxes, ids) in enumerate(items):
+        k = min(len(boxes), max_gt)
+        batch["gt_boxes"][i, :k] = boxes[:k]
+        batch["gt_valid"][i, :k] = True
+        batch["gt_labels"][i, :k] = ids[:k]
+    return batch
+
+
+class BatchLoader:
+    """Simple shuffling host loader with a prefetch thread."""
+
+    def __init__(self, dataset: ImgDataset, indices: np.ndarray, batch_size: int,
+                 max_gt: int, rng: Optional[np.random.Generator] = None,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.rng = rng or np.random.default_rng()
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        order = self.rng.permutation(self.indices)
+        n = len(order)
+        stop = n - (n % self.batch_size) if self.drop_last else n
+        for i in range(0, stop, self.batch_size):
+            items = [self.dataset[int(j)] for j in order[i:i + self.batch_size]]
+            yield collate_batch(items, self.max_gt)
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
