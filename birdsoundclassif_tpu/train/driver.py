@@ -1,0 +1,254 @@
+"""Training driver — the reference's train.py main loop, TPU-native
+(reference: train.py:273-409): config dump, resume-if-checkpoint, split,
+alternating positive/hard-negative steps, TensorBoard scalars every 50
+steps, LR schedule tick every 1000, validation + full test-set AP every
+500, milestone/best/last checkpoints.
+
+Run: python -m birdsoundclassif_tpu.train.driver --data_path dataset ...
+(flags mirror the reference's argparse; unknown flags are rejected).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import NbmConfig
+from ..data.image_dataset import BatchLoader, ImgDataset
+from ..utils.checkpoint import load_params, save_params, _flatten, _unflatten
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """One flag per NbmConfig field (defaults = reference defaults)."""
+    p = argparse.ArgumentParser("NBM TPU detector training")
+    for f in dataclasses.fields(NbmConfig):
+        arg = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(arg, type=lambda s: s.lower() != "false",
+                           default=f.default)
+        elif f.default is None:
+            p.add_argument(arg, default=None)
+        else:
+            p.add_argument(arg, type=type(f.default), default=f.default)
+    return p
+
+
+def train_test_split(length: int, val_prop: float, rng: np.random.Generator):
+    """reference: nets_utils.py:367-371."""
+    indices = rng.permutation(length)
+    cut = int(val_prop * length)
+    return indices[cut:], indices[:cut]
+
+
+class MetricsWriter:
+    """TensorBoard writer when available; always mirrors to JSONL."""
+
+    def __init__(self, save_dir: str):
+        self.jsonl = open(os.path.join(save_dir, "metrics.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(save_dir)
+        except Exception:
+            self.tb = None
+
+    def add_scalar(self, tag: str, value: float, global_step: int) -> None:
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, global_step=global_step)
+        self.jsonl.write(json.dumps({"tag": tag, "value": float(value),
+                                     "step": int(global_step)}) + "\n")
+        self.jsonl.flush()
+
+
+def save_checkpoint(out_dir, label, state, epoch, best_val_cls_loss,
+                    train_indices=None, val_indices=None, full=False):
+    """reference save(): model (+ optimizer/scheduler/split when full)
+    (train.py:171-187)."""
+    ckpt_dir = os.path.join(out_dir, f"ckpt_{label}")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_params(ckpt_dir, state.params)
+    meta = {
+        "steps": int(state.step),
+        "epoch": int(epoch),
+        "best_val_cls_loss": float(best_val_cls_loss),
+    }
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    if full:
+        with open(os.path.join(ckpt_dir, "opt_state.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(state.opt_state), f)
+        np.savez(os.path.join(ckpt_dir, "split.npz"),
+                 train_indices=train_indices, val_indices=val_indices)
+
+
+def load_checkpoint(out_dir, label, tx, cfg):
+    from .loop import TrainState
+
+    ckpt_dir = os.path.join(out_dir, f"ckpt_{label}")
+    params = load_params(ckpt_dir, cfg)
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+    opt_path = os.path.join(ckpt_dir, "opt_state.pkl")
+    if os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            opt_state = pickle.load(f)
+    else:
+        opt_state = tx.init(params)
+    split = None
+    split_path = os.path.join(ckpt_dir, "split.npz")
+    if os.path.exists(split_path):
+        z = np.load(split_path)
+        split = (z["train_indices"], z["val_indices"])
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=np.int32(meta["steps"]))
+    return state, meta, split
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    cfg = NbmConfig(**{f.name: getattr(args, f.name)
+                       for f in dataclasses.fields(NbmConfig)})
+
+    from .loop import create_train_state, make_train_step
+
+    save_dir = os.path.join(cfg.save_dir, cfg.model_name)
+    os.makedirs(save_dir, exist_ok=True)
+    cfg.save(os.path.join(save_dir, "args"))
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    dataset = ImgDataset(cfg.data_path, transform=True, rng=rng)
+    if len(dataset) == 0:
+        raise SystemExit(f"no positive files under {cfg.data_path}")
+
+    state, tx = create_train_state(key, cfg)
+    train_step, eval_step = make_train_step(cfg, tx)
+
+    resume_label = "last"
+    epoch, best_val_cls_loss = 0, 99.0
+    if os.path.isdir(os.path.join(save_dir, "ckpt_last")):
+        state, meta, split = load_checkpoint(save_dir, resume_label, tx, cfg)
+        epoch = meta["epoch"]
+        best_val_cls_loss = meta["best_val_cls_loss"]
+        train_indices, val_indices = split
+        print("Resuming training~~~~")
+    else:
+        train_indices, val_indices = train_test_split(
+            len(dataset), cfg.validation_prop, rng
+        )
+
+    train_loader = BatchLoader(dataset, train_indices, cfg.batch_size,
+                               cfg.max_gt_boxes, rng)
+    val_loader = (
+        BatchLoader(dataset, val_indices, 2 * cfg.batch_size, cfg.max_gt_boxes, rng)
+        if len(val_indices) > 0 else None
+    )
+
+    writer = MetricsWriter(save_dir)
+    loss_keys = ["first_class_loss", "first_regression_loss", "sec_class_loss",
+                 "sec_regression_loss", "first_neg_class_loss",
+                 "sec_neg_class_loss", "cardinality_error"]
+    running = {k: 0.0 for k in loss_keys}
+    save_steps = {180_000, 190_000, 200_000}
+    steps = int(state.step)
+
+    print("Start training")
+    while steps < cfg.max_steps:
+        for batch in train_loader:
+            neg = (steps % cfg.neg_step_freq == 0) and (steps > cfg.first_neg_step)
+            key, sub = jax.random.split(key)
+            state, losses = train_step(state, batch, sub, negative_sample=neg)
+            for k, v in losses.items():
+                if k in running:
+                    running[k] += float(v)
+            if steps % 50 == 0:
+                for k in loss_keys:
+                    freq = 50 / cfg.neg_step_freq if "neg" in k else 50
+                    writer.add_scalar(f"Training_Loss/{k}", running[k] / freq, steps)
+                    running[k] = 0.0
+            if steps in save_steps:
+                save_checkpoint(save_dir, str(steps), state, epoch,
+                                best_val_cls_loss, train_indices, val_indices,
+                                full=True)
+            steps += 1
+            if steps % 1000 == 0:
+                from .loop import make_lr_schedule
+
+                writer.add_scalar(
+                    "Lr", float(make_lr_schedule(cfg.lr, cfg.lr_drop)(steps)), steps
+                )
+            if steps % 500 == 0:
+                _validate(cfg, state, eval_step, val_loader, writer, steps, key)
+                val_cls = _last_val_cls_loss
+                if val_cls is not None and steps / 1000 > cfg.lr_drop and \
+                        val_cls < best_val_cls_loss:
+                    best_val_cls_loss = val_cls
+                    save_checkpoint(save_dir, "best", state, epoch, best_val_cls_loss)
+                test_dir = os.path.join(cfg.data_path, "test_files", "XC_annots")
+                if os.path.isdir(test_dir):
+                    from ..eval.ap import evaluate_test_dir
+
+                    metrics = evaluate_test_dir(state.params, cfg, test_dir,
+                                                min_score=0.02, bs=cfg.batch_size)
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"Test_metrics/{k}", v, steps)
+            if steps >= cfg.max_steps:
+                break
+        if epoch > 0 and epoch % 10 == 0:
+            save_checkpoint(save_dir, "last", state, epoch, best_val_cls_loss,
+                            train_indices, val_indices, full=True)
+        epoch += 1
+    save_checkpoint(save_dir, "last", state, epoch, best_val_cls_loss,
+                    train_indices, val_indices, full=True)
+    return 0
+
+
+_last_val_cls_loss: Optional[float] = None
+
+
+def _validate(cfg, state, eval_step, val_loader, writer, steps, key):
+    global _last_val_cls_loss
+    if val_loader is None:
+        _last_val_cls_loss = None
+        return
+    loss_keys = ["first_class_loss", "first_regression_loss", "sec_class_loss",
+                 "sec_regression_loss", "first_neg_class_loss",
+                 "sec_neg_class_loss", "cardinality_error"]
+    val = {k: 0.0 for k in loss_keys}
+    n = 0
+    last_batch = None
+    for batch in val_loader:
+        key, sub = jax.random.split(key)
+        ld = eval_step(state.params, batch, sub, negative_sample=False)
+        for k, v in ld.items():
+            if k in val:
+                val[k] += float(v)
+        n += 1
+        last_batch = batch
+    if n == 0:
+        _last_val_cls_loss = None
+        return
+    for k in loss_keys:
+        val[k] /= n
+    if last_batch is not None:
+        key, sub = jax.random.split(key)
+        ld = eval_step(state.params, last_batch, sub, negative_sample=True)
+        for k, v in ld.items():
+            if k in val:
+                val[k] += float(v)
+    for k in loss_keys:
+        writer.add_scalar(f"Val_Loss/{k}", val[k], steps)
+    _last_val_cls_loss = val["sec_class_loss"]
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

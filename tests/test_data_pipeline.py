@@ -1,0 +1,130 @@
+"""Dataset ETL + training pipeline integration tests: synthetic wav +
+Audacity annotations -> prepare_dataset -> ImgDataset -> collate ->
+train_step on a tiny config."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from birdsoundclassif_tpu.config import FrontendConfig, NbmConfig
+from birdsoundclassif_tpu.data.etl import (
+    create_label_dataset,
+    prepare_dataset,
+    read_txt_file,
+)
+from birdsoundclassif_tpu.data.image_dataset import BatchLoader, ImgDataset, collate_batch
+
+
+def write_wav(path, samples, sr):
+    x = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+@pytest.fixture
+def audio_dir(tmp_path, rng):
+    sr = 44100
+    d = tmp_path / "recordings"
+    d.mkdir()
+    t = np.arange(sr * 8) / sr
+    # a "call" at 2.0-3.0s around 3kHz
+    sig = 0.01 * rng.standard_normal(len(t))
+    call = (t >= 2.0) & (t <= 3.0)
+    sig[call] += 0.4 * np.sin(2 * np.pi * 3000 * t[call])
+    write_wav(d / "turdus_merula#XC1.wav", sig, sr)
+    # Audacity annotation: 2.0-3.0 s, 2500-3500 Hz
+    (d / "turdus_merula#XC1.txt").write_text(
+        "2.00\t3.00\tTurdus merula\n\\\t2500\t3500\n"
+        "5.00\t5.50\tBruit de fond\n\\\t500\t1000\n"
+    )
+    return d
+
+
+class TestLabelETL:
+    def test_read_txt(self, audio_dir):
+        df = read_txt_file(str(audio_dir / "turdus_merula#XC1.txt"))
+        assert len(df) == 2
+        assert set(df["species"]) == {"Turdus merula", "Bruit de fond"}
+        assert df.loc[df["species"] == "Turdus merula", "t_start"].iloc[0] == 2.0
+
+    def test_create_label_dataset(self, audio_dir):
+        labels = create_label_dataset(str(audio_dir))
+        # noise suppressed by default, turdus mapped to its bird_dict id
+        assert len(labels) == 1
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "birdsoundclassif_tpu", "assets", "bird_dict.json")) as f:
+            bd = json.load(f)
+        assert labels["bird_id"].iloc[0] == bd["Turdus merula"]
+
+    def test_species_replacement_and_other(self, tmp_path):
+        (tmp_path / "x.txt").write_text(
+            "0.5\t1.0\tErithacus rubecola\n\\\t1000\t2000\n"    # typo -> replaced
+            "2.0\t2.5\tMartian bird\n\\\t1000\t2000\n"          # unknown -> Other
+        )
+        labels = create_label_dataset(str(tmp_path))
+        ids = dict(zip(labels["species"], labels["bird_id"]))
+        assert "Erithacus rubecula" in ids
+        assert ids["Martian bird"] == 132  # "Other"
+
+
+class TestPrepareDataset:
+    def test_full_etl(self, audio_dir, tmp_path):
+        out = tmp_path / "dataset"
+        prepare_dataset(str(audio_dir), str(out))
+        pos_dirs = os.listdir(out / "positive_files")
+        assert len(pos_dirs) == 1
+        pos_dir = out / "positive_files" / pos_dirs[0]
+        annots = pd.read_csv(pos_dir / "annotations.csv", sep=";")
+        assert len(annots) >= 1
+        annots["coord"] = annots["coord"].apply(eval)
+        # the 2-3s call lands in window 0 (0-3.06s) around x=2.0/dt..3.0/dt
+        coords = annots.iloc[0]["coord"][0]
+        dt = FrontendConfig().dt_actual
+        assert abs(coords[0] - int(2.0 / dt)) <= 1
+        # y rows: (2500-500)/33.3 ~ 60
+        assert 50 < coords[1] < 70
+        pngs = [f for f in os.listdir(pos_dir) if f.endswith(".png")]
+        assert len(pngs) == len(annots)
+        # negatives exist for the windows without calls
+        assert len(os.listdir(out / "negative_files")) == 1
+
+    def test_dataset_loader_and_train_step(self, audio_dir, tmp_path):
+        import jax
+
+        out = tmp_path / "dataset"
+        prepare_dataset(str(audio_dir), str(out))
+        ds = ImgDataset(str(out), transform=True, rng=np.random.default_rng(0))
+        assert len(ds) >= 1
+        img, neg, boxes, ids = ds[0]
+        assert img.shape == (375, 1024)
+        assert boxes.shape[1] == 4 and len(ids) == len(boxes)
+
+        loader = BatchLoader(ds, np.arange(len(ds)), batch_size=1, max_gt=4,
+                             rng=np.random.default_rng(0), drop_last=False)
+        batch = next(iter(loader))
+        assert batch["img"].shape == (1, 375, 1024)
+        assert batch["gt_valid"][0].sum() == len(ids)
+
+        from birdsoundclassif_tpu.train.loop import create_train_state, make_train_step
+
+        cfg = NbmConfig()
+        cfg.num_classes = 150
+        cfg.out_fpn_chan = 16
+        cfg.fpn_p_chan = 24
+        cfg.depth_rcnn = 1
+        cfg.max_gt_boxes = 4
+        cfg.pre_nms_topN = 256
+        cfg.post_nms_topN = 64
+        state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+        train_step, _ = make_train_step(cfg, tx)
+        batch_j = {k: np.asarray(v) for k, v in batch.items()}
+        state2, losses = train_step(state, batch_j, jax.random.PRNGKey(1),
+                                    negative_sample=False)
+        assert np.isfinite(float(losses["total"]))
