@@ -170,9 +170,33 @@ def resnet_pyramid(
 # ---------------------------------------------------------------------------
 
 
+def backbone_channels(name: str) -> List[int]:
+    """Per-level channel counts (reference table: backbone.py:13-24)."""
+    if "vgg" in name:
+        from .backbones_extra import VGG_CHANNELS
+
+        return VGG_CHANNELS
+    if "efficientnet" in name:
+        from .backbones_extra import EFFNET_CHANNELS
+
+        return EFFNET_CHANNELS[name]
+    return RESNET_CHANNELS
+
+
 def backbone_init(key, cfg) -> Dict:
     k1, k2 = jax.random.split(key)
-    params: Dict = {"body": resnet_init(k1, cfg.backbone)}
+    name = cfg.backbone
+    if "vgg" in name:
+        from .backbones_extra import vgg16_bn_init
+
+        body = vgg16_bn_init(k1)
+    elif "efficientnet" in name:
+        from .backbones_extra import efficientnet_init
+
+        body = efficientnet_init(k1, name)
+    else:
+        body = resnet_init(k1, name)
+    params: Dict = {"body": body}
     if cfg.inpt_channels != 3:
         params["init_conv"] = fnn.conv2d_init(
             k2, cfg.inpt_channels, 3, 1, init="torch_default"
@@ -190,10 +214,20 @@ def backbone_apply(
     """x: (B, H, W, C_in) -> (features, positional embeddings), NHWC lists."""
     if "init_conv" in params:
         x = fnn.conv2d(params["init_conv"], x)
-    feats = resnet_pyramid(
-        params["body"], x, cfg.backbone, cfg.norm_layer_backbone,
-        cfg.dilation, training, bn_updates,
-    )
+    name = cfg.backbone
+    if "vgg" in name:
+        from .backbones_extra import vgg16_bn_pyramid
+
+        feats = vgg16_bn_pyramid(params["body"], x, training, bn_updates)
+    elif "efficientnet" in name:
+        from .backbones_extra import efficientnet_pyramid
+
+        feats = efficientnet_pyramid(params["body"], x, name, training, bn_updates)
+    else:
+        feats = resnet_pyramid(
+            params["body"], x, name, cfg.norm_layer_backbone,
+            cfg.dilation, training, bn_updates,
+        )
     pos = [
         sine_position_embedding_2d(
             f.shape[1], f.shape[2], f.shape[3], only_y=cfg.one_dim_posenc

@@ -13,12 +13,21 @@ from typing import Dict, List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .backbone import backbone_init, backbone_apply, RESNET_CHANNELS
+from .backbone import backbone_init, backbone_apply, backbone_channels
 from .attention import sa_pyramid_init, sa_pyramid_apply
 from .fpn import build_fpn_init, build_fpn_apply
 from .rpn import rpn_init, rpn_apply, proposal_layer, Proposals
 from .rcnn import rcnn_init, rcnn_apply, fast_rcnn_inference, Detections
+from .tf_rcnn import tf_rcnn_init as _tf_rcnn_init, tf_rcnn_apply as _tf_rcnn_apply
 from .roi import roi_pool
+
+
+def _second_stage_heads(params, pooled, pe, cfg, training, bn_updates):
+    """Dispatch RCNN vs Transformer-RCNN (reference: FastRCNN.__init__,
+    layers.py:662-665)."""
+    if cfg.tf_rcnn:
+        return _tf_rcnn_apply(params["head"]["rcnn"], pooled, pe, cfg)
+    return rcnn_apply(params["head"]["rcnn"], pooled, pe, training, bn_updates)
 
 
 class FirstStageOut(NamedTuple):
@@ -37,28 +46,32 @@ class NbmModel:
     @staticmethod
     def init(key, cfg) -> Dict:
         keys = jax.random.split(key, 4)
-        backbone_channels = RESNET_CHANNELS  # reference: backbone.py:15
+        bb_channels = backbone_channels(cfg.backbone)
         if cfg.fpn_first:
-            attn_channels = [cfg.out_fpn_chan] * len(backbone_channels)
+            attn_channels = [cfg.out_fpn_chan] * len(bb_channels)
             attn = sa_pyramid_init(keys[1], attn_channels, cfg.pyramid_top_n_attn)
         elif cfg.sandwich_attn:
             attn = {
-                "0": sa_pyramid_init(keys[1], backbone_channels, cfg.pyramid_top_n_attn),
+                "0": sa_pyramid_init(keys[1], bb_channels, cfg.pyramid_top_n_attn),
                 "1": sa_pyramid_init(
                     jax.random.fold_in(keys[1], 1),
-                    [cfg.out_fpn_chan] * len(backbone_channels),
+                    [cfg.out_fpn_chan] * len(bb_channels),
                     cfg.pyramid_top_n_attn,
                 ),
             }
         else:
-            attn = sa_pyramid_init(keys[1], backbone_channels, cfg.pyramid_top_n_attn)
+            attn = sa_pyramid_init(keys[1], bb_channels, cfg.pyramid_top_n_attn)
         return {
             "backbone": backbone_init(keys[0], cfg),
             "attn": attn,
-            "fpn": build_fpn_init(keys[2], cfg, backbone_channels),
+            "fpn": build_fpn_init(keys[2], cfg, bb_channels),
             "head": {
                 "rpn": rpn_init(keys[3], cfg),
-                "rcnn": rcnn_init(jax.random.fold_in(keys[3], 1), cfg),
+                "rcnn": (
+                    _tf_rcnn_init(jax.random.fold_in(keys[3], 1), cfg)
+                    if cfg.tf_rcnn
+                    else rcnn_init(jax.random.fold_in(keys[3], 1), cfg)
+                ),
             },
         }
 
@@ -115,7 +128,7 @@ class NbmModel:
         bn_updates: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
-        return rcnn_apply(params["head"]["rcnn"], pooled, pe, True, bn_updates)
+        return _second_stage_heads(params, pooled, pe, cfg, True, bn_updates)
 
     @staticmethod
     def forward_second_stage_eval(
@@ -128,7 +141,7 @@ class NbmModel:
         min_score: float = 0.5,
     ) -> Detections:
         pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
-        bbox_reg, bbox_classes = rcnn_apply(params["head"]["rcnn"], pooled, pe, False)
+        bbox_reg, bbox_classes = _second_stage_heads(params, pooled, pe, cfg, False, None)
         return fast_rcnn_inference(
             bbox_reg, bbox_classes, rois, roi_valid, cfg, nms_thresh, min_score
         )
