@@ -1,0 +1,124 @@
+"""Auxiliary subsystems: profiling, GIoU ops, visualization, multi-chip
+sharding on the virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from birdsoundclassif_tpu.utils.profiling import (
+    MetricLogger,
+    SmoothedValue,
+    Timer,
+    device_memory_stats,
+)
+from birdsoundclassif_tpu.ops.giou import (
+    box_cxcywh_to_xyxy,
+    box_xyxy_to_cxcywh,
+    box_iou,
+    generalized_box_iou,
+)
+
+
+class TestProfiling:
+    def test_timer_sections(self):
+        t = Timer()
+        with t.section("a"):
+            x = jnp.ones((8, 8)) * 2
+        with t.section("a", sync_on=x):
+            pass
+        s = t.summary()
+        assert s["a"]["count"] == 2
+        assert s["a"]["total_s"] > 0
+
+    def test_smoothed_value(self):
+        v = SmoothedValue(window_size=3)
+        for x in [1.0, 2.0, 3.0, 4.0]:
+            v.update(x)
+        assert v.median == 3.0
+        assert v.global_avg == 2.5
+
+    def test_metric_logger(self):
+        m = MetricLogger()
+        m.update(loss=1.0, acc=0.5)
+        m.update(loss=2.0, acc=0.7)
+        assert "loss" in str(m)
+
+    def test_memory_stats_shape(self):
+        out = device_memory_stats()
+        assert isinstance(out, dict)
+
+
+class TestGIoU:
+    def test_cxcywh_roundtrip(self, rng):
+        x = jnp.asarray(rng.random((7, 4)).astype(np.float32))
+        rec = box_xyxy_to_cxcywh(box_cxcywh_to_xyxy(x))
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-6)
+
+    def test_giou_identical_boxes(self):
+        b = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+        g = generalized_box_iou(b, b)
+        np.testing.assert_allclose(np.asarray(g), [[1.0]], atol=1e-6)
+
+    def test_giou_disjoint_negative(self):
+        a = jnp.asarray([[0.0, 0.0, 1.0, 1.0]])
+        b = jnp.asarray([[10.0, 10.0, 11.0, 11.0]])
+        assert float(generalized_box_iou(a, b)[0, 0]) < 0
+
+
+class TestVisualize:
+    def test_plot_window(self, tmp_path, rng):
+        from birdsoundclassif_tpu.utils.visualize import plot_window_with_boxes
+
+        win = rng.random((375, 1024)).astype(np.float32)
+        p = plot_window_with_boxes(
+            win, [[100, 50, 300, 120]], labels=["Turdus merula"], scores=[0.9],
+            save_path=str(tmp_path / "w.png"),
+        )
+        assert os.path.getsize(p) > 1000
+
+    def test_visualise_model_out(self, tmp_path, rng):
+        from birdsoundclassif_tpu.utils.visualize import visualise_model_out
+
+        spec = rng.random((375, 2000)).astype(np.float32)
+        output = {"Turdus merula": {"bbox_coord": [[900, 40, 1100, 90]],
+                                    "scores": [0.8]}}
+        paths = visualise_model_out(output, spec, out_dir=str(tmp_path))
+        assert len(paths) >= 1
+
+
+class TestMultichipSharding:
+    def test_inference_sharded_over_mesh(self, cpu_mesh_devices):
+        """Window batch sharded over the 8-device CPU mesh; detector forward
+        compiles and executes under GSPMD."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from birdsoundclassif_tpu.config import NbmConfig
+        from birdsoundclassif_tpu.models.detector import NbmModel
+        from birdsoundclassif_tpu.parallel.mesh import make_mesh
+
+        cfg = NbmConfig()
+        cfg.num_classes = 4
+        cfg.out_fpn_chan = 16
+        cfg.fpn_p_chan = 24
+        cfg.depth_rcnn = 1
+        cfg.img_height, cfg.img_width = 128, 256
+        cfg.pre_nms_topN_eval = 64
+        cfg.post_nms_topN_eval = 16
+        params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(cpu_mesh_devices)
+        x = jnp.zeros((8, 128, 256, 1))
+        x = jax.device_put(x, NamedSharding(mesh, P("data")))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+        @jax.jit
+        def fwd(params, x):
+            det = NbmModel.forward(params, x, cfg, min_score=0.0)
+            return det.boxes, det.valid
+
+        boxes, valid = fwd(params, x)
+        assert boxes.shape == (8, 16, 4)
+        # output is actually distributed
+        assert len(boxes.sharding.device_set) == 8
