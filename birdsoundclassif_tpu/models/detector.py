@@ -84,6 +84,10 @@ class NbmModel:
         training: bool = False,
         bn_updates: Optional[dict] = None,
     ) -> FirstStageOut:
+        # one cast here flips the whole conv stack to bf16 (params are cast
+        # per-op to the activation dtype; accumulation stays f32); box
+        # geometry, NMS and losses remain f32 downstream
+        samples = samples.astype(jnp.dtype(cfg.compute_dtype))
         feats, pos = backbone_apply(params["backbone"], samples, cfg, training, bn_updates)
         if cfg.add_posenc:
             feats = [f + p for f, p in zip(feats, pos)]

@@ -85,15 +85,19 @@ def conv2d(
     padding: int | Tuple[int, int] = 0,
     groups: int = 1,
     dilation: int = 1,
-    dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
-    """NHWC conv with torch floor-arithmetic padding semantics."""
+    """NHWC conv with torch floor-arithmetic padding semantics.
+
+    Mixed precision follows the activation dtype: params are cast to
+    x.dtype (bf16 compute when the caller feeds bf16) and the output stays
+    in x.dtype — one cast at the model entry flips the whole network. The
+    TPU MXU accumulates bf16 matmuls/convs in f32 internally regardless of
+    the storage dtype. (No preferred_element_type upcast here: its conv
+    transpose rule rejects mixed bf16/f32 cotangents under grad.)
+    """
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
-    w = params["w"]
-    if dtype is not None:
-        x = x.astype(dtype)
-        w = w.astype(dtype)
+    w = params["w"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -102,11 +106,10 @@ def conv2d(
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(x.dtype) if dtype is not None else y
+        y = y + params["b"].astype(y.dtype)
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -126,9 +129,9 @@ def linear_init(key, in_dim: int, out_dim: int, init: str = "kaiming") -> Params
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return (
-        jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
-    ).astype(x.dtype)
+    w = params["w"].astype(x.dtype)
+    y = jnp.dot(x, w)
+    return (y + params["b"].astype(y.dtype)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

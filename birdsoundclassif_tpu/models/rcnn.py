@@ -69,7 +69,7 @@ def rcnn_apply(
             x = fnn.depthwise_sep_conv(blk, x, pe=pe)
     # NOTE layout: flatten is (ph, pw, C); the torch reference flattens
     # (C, ph, pw) — the checkpoint converter permutes linear rows to match.
-    flat = x.reshape(b * r, ph * pw * c)
+    flat = x.reshape(b * r, ph * pw * c).astype(jnp.float32)  # f32 heads
     bbox_reg = fnn.linear(params["bbox_reg_layer"], flat)
     bbox_classes = jax.nn.softmax(fnn.linear(params["bbox_classif_layer"], flat), axis=-1)
     return bbox_reg, bbox_classes

@@ -94,7 +94,7 @@ def roi_pool(
     pe_acc = jnp.zeros((b, r, ph, pw, c), jnp.float32)
 
     for l in range(n_layers):
-        fm = fpn_out[l].astype(jnp.float32)
+        fm = fpn_out[l]  # keep compute dtype; f32 accumulation in the einsums
         h_l, w_l = fm.shape[1], fm.shape[2]
         s = 2 ** (l + 1)
         x1 = jnp.round(rois[..., 0] / s).astype(jnp.int32)
@@ -110,11 +110,15 @@ def roi_pool(
         ws, we = _adaptive_bins(x2_eff - x1 + 1, pw)
         row_ind = _range_indicator(y1[..., None] + hs, y1[..., None] + he, h_l)
         col_ind = _range_indicator(x1[..., None] + ws, x1[..., None] + we, w_l)
+        # contract W first: the (B, R, pw, H, C) intermediate is W/H (~2.7x)
+        # smaller than the (B, R, ph, W, C) alternative — peak-HBM critical
         pooled = jnp.einsum(
-            "brih,bhwc->briwc", row_ind, fm, preferred_element_type=jnp.float32
+            "brjw,bhwc->brjhc", col_ind.astype(fm.dtype), fm,
+            preferred_element_type=jnp.float32,
         )
         pooled = jnp.einsum(
-            "brjw,briwc->brijc", col_ind, pooled, preferred_element_type=jnp.float32
+            "brih,brjhc->brijc", row_ind, pooled.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
 
         # ---- RoI positional encoding (separable outer-sum) ----

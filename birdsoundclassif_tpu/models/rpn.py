@@ -74,9 +74,11 @@ def rpn_apply(
     b = conv_out[0].shape[0]
     cls_list, reg_list = [], []
     for i, fm in enumerate(conv_out):
-        cls = fnn.conv2d(params["cls_score"][str(i)], fm)  # (B, th, tw, A*2)
+        # head outputs in f32: proposal scores drive sorts/NMS decisions
+        cls = fnn.conv2d(params["cls_score"][str(i)], fm).astype(jnp.float32)
         cls = jax.nn.softmax(cls.reshape(b, th, tw, a, 2), axis=-1)
-        reg = fnn.conv2d(params["bbox_reg"][str(i)], fm).reshape(b, th, tw, a, 4)
+        reg = fnn.conv2d(params["bbox_reg"][str(i)], fm).astype(jnp.float32)
+        reg = reg.reshape(b, th, tw, a, 4)
         cls_list.append(cls)
         reg_list.append(reg)
     cls_scores = jnp.concatenate(cls_list, axis=3)  # level-major anchor dim
