@@ -59,6 +59,15 @@ def _forward_batch(params, windows, cfg, nms_thresh, min_score):
     return NbmModel.forward(params, windows[..., None], cfg, nms_thresh, min_score)
 
 
+@jax.jit
+def _gather_windows(spec_p: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """(h, T_pad), (b, w) int32 -> (b, h, w) window batch."""
+    return jnp.take(spec_p, cols, axis=1).transpose(1, 0, 2)
+
+
+_FRAME_BUCKET = 8192  # spectrogram length granularity (bounds recompiles)
+
+
 def detect_windows(
     params,
     cfg,
@@ -67,25 +76,55 @@ def detect_windows(
     min_score: float,
     nms_thresh: float = 0.3,
 ) -> Detections:
-    """Run the detector over all windows in fixed-size batches and
-    concatenate the fixed-slot outputs (first n rows are real windows)."""
+    """Run the detector over a materialized window batch in fixed-size
+    sub-batches and concatenate the fixed-slot outputs."""
     n = windows.shape[0]
     n_pad = -(-n // batch_size) * batch_size
     if n_pad != n:
         windows = jnp.concatenate(
             [windows, jnp.zeros((n_pad - n,) + windows.shape[1:], windows.dtype)], axis=0
         )
-    outs = []
-    for i in range(0, n_pad, batch_size):
-        outs.append(_forward_batch(params, windows[i:i + batch_size], cfg, nms_thresh,
-                                   min_score))
-    det = Detections(
+    outs = [
+        _forward_batch(params, windows[i:i + batch_size], cfg, nms_thresh, min_score)
+        for i in range(0, n_pad, batch_size)
+    ]
+    return _concat_detections(outs, n)
+
+
+def _concat_detections(outs, n) -> Detections:
+    return Detections(
         boxes=jnp.concatenate([o.boxes for o in outs])[:n],
         scores=jnp.concatenate([o.scores for o in outs])[:n],
         classes=jnp.concatenate([o.classes for o in outs])[:n],
         valid=jnp.concatenate([o.valid for o in outs])[:n],
     )
-    return det
+
+
+def detect_spectrogram(
+    params,
+    cfg,
+    spec: jnp.ndarray,        # (h, T) normalized spectrogram on device
+    window_cols: np.ndarray,  # (n, w) int32 window column indices
+    batch_size: int,
+    min_score: float,
+    nms_thresh: float = 0.3,
+) -> Detections:
+    """Streaming window detection: gathers each fixed-size window batch from
+    the (bucket-padded) spectrogram on device and runs the detector —
+    nothing file-length-shaped ever reaches the compiled model, so a
+    directory sweep compiles the hot path exactly once."""
+    t = spec.shape[1]
+    t_pad = -(-t // _FRAME_BUCKET) * _FRAME_BUCKET
+    spec_p = jnp.pad(spec, ((0, 0), (0, t_pad - t))) if t_pad != t else spec
+    n = window_cols.shape[0]
+    n_pad = -(-n // batch_size) * batch_size
+    cols = np.zeros((n_pad, window_cols.shape[1]), np.int32)
+    cols[:n] = window_cols
+    outs = []
+    for i in range(0, n_pad, batch_size):
+        wins = _gather_windows(spec_p, jnp.asarray(cols[i:i + batch_size]))
+        outs.append(_forward_batch(params, wins, cfg, nms_thresh, min_score))
+    return _concat_detections(outs, n)
 
 
 # ---------------------------------------------------------------------------
@@ -96,26 +135,28 @@ def detect_windows(
 @partial(jax.jit, static_argnames=("w_pix", "hop_spectro", "num_classes", "nms_thresh",
                                    "max_boxes"))
 def _merge_on_device(
-    boxes, scores, classes, valid, spectrogram_length,
+    boxes, scores, classes, valid, n_real, spectrogram_length,
     w_pix: int, hop_spectro: int, num_classes: int, nms_thresh: float, max_boxes: int,
 ):
+    # shapes are padded to a window-count bucket; n_real (traced) marks the
+    # live rows so one compilation serves any file length in the bucket
     n, r = scores.shape
     win_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, r))
+    valid = valid & (win_idx < n_real)
 
     widths = boxes[..., 2] - boxes[..., 0]
     min_border = 0.9 * (w_pix - hop_spectro)
     at_right = boxes[..., 2] >= w_pix - 5
     at_left = boxes[..., 0] <= 4
     small = widths < min_border
-    if n == 1:
-        border = at_right & small
-    else:
-        is_first = win_idx == 0
-        is_last = win_idx == n - 1
-        border = jnp.where(
-            is_first, at_right & small,
-            jnp.where(is_last, at_left & small, (at_left | at_right) & small),
-        )
+    # reference checks i==0 first, so a single-window file uses the
+    # right-border condition (run_detection.py:195-200)
+    is_first = win_idx == 0
+    is_last = win_idx == n_real - 1
+    border = jnp.where(
+        is_first, at_right & small,
+        jnp.where(is_last, at_left & small, (at_left | at_right) & small),
+    )
     valid = valid & ~border
 
     shift = (win_idx * hop_spectro).astype(boxes.dtype)
@@ -146,12 +187,15 @@ def merge_detections(
     spectrogram_length: int,
     cfg,
     nms_thresh: float = 0.3,
+    n_real: Optional[int] = None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """-> {class_id_str: {"bbox_coord": (k,4), "scores": (k,)}} over classes
-    1..num_classes, empty arrays when none (reference output schema)."""
+    1..num_classes, empty arrays when none (reference output schema).
+    det may be padded beyond the real window count; pass n_real."""
     fe = cfg.frontend
     boxes, scores, classes, keep = _merge_on_device(
         det.boxes, det.scores, det.classes, det.valid,
+        jnp.int32(n_real if n_real is not None else det.scores.shape[0]),
         jnp.float32(spectrogram_length),
         fe.w_pix, fe.hop_spectro, cfg.num_classes, nms_thresh,
         cfg.merge_nms_max_boxes,
@@ -191,8 +235,22 @@ def run_detection(
         return None
     frontend = frontend or SpectrogramFrontend(cfg.frontend)
     fe_res = frontend.process(samples)
-    det = detect_windows(params, cfg, fe_res.windows(), bs, min_score)
-    class_bbox = merge_detections(det, fe_res.total_frames, cfg)
+    det = detect_spectrogram(
+        params, cfg, fe_res.spec, fe_res.window_cols, bs, min_score
+    )
+    # pad detections to a power-of-two window bucket so the merge NMS
+    # compiles O(log) times across a sweep, not once per file length
+    n = fe_res.n_windows
+    n_bucket = 1 << max(4, (n - 1).bit_length())
+    if n_bucket != n:
+        pad = n_bucket - n
+        det = Detections(
+            boxes=jnp.pad(det.boxes, ((0, pad), (0, 0), (0, 0))),
+            scores=jnp.pad(det.scores, ((0, pad), (0, 0))),
+            classes=jnp.pad(det.classes, ((0, pad), (0, 0))),
+            valid=jnp.pad(det.valid, ((0, pad), (0, 0))),
+        )
+    class_bbox = merge_detections(det, fe_res.total_frames, cfg, n_real=n)
     _, reverse = load_bird_dict(bird_dicts_path)
     output = {}
     for idx in range(1, cfg.num_classes + 1):
