@@ -31,8 +31,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
+    from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
+
     cfg = NbmConfig()
-    params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    params = fold_frozen_bn(NbmModel.init(jax.random.PRNGKey(0), cfg), cfg)
 
     sr = cfg.frontend.sample_rate
     rng = np.random.default_rng(0)
