@@ -160,7 +160,10 @@ def proposal_target_layer(
                 jnp.where(oth & (oth_rank < oth_take), fg_take + bg_take + oth_rank, big),
             ),
         )
-        keep = jnp.argsort(slot)[:s]
+        order = jnp.argsort(slot)
+        if order.shape[0] < s:  # tiny test configs; production N >> s
+            order = jnp.pad(order, (0, s - order.shape[0]))
+        keep = order[:s]
         b_rois = all_rois[keep]
         b_labels = lbl[keep].astype(jnp.int32)
         tgt = encode_boxes(b_rois, assigned_gt[keep])          # (S, 4)
