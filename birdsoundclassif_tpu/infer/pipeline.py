@@ -180,7 +180,9 @@ def _merge_on_device(
         order = order[:max_boxes]
     ob = flat_boxes[order]
     ov = flat_valid[order]
-    keep = greedy_nms_in_order(ob, ov, nms_thresh)
+    # the candidate ordering puts all valid entries first, so the greedy
+    # scan runs only valid.sum() iterations
+    keep = greedy_nms_in_order(ob, ov, nms_thresh, valid_prefix=True)
     return ob, flat_scores[order], flat_classes[order], keep
 
 

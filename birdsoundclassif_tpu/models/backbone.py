@@ -212,6 +212,13 @@ def backbone_apply(
     bn_updates: Optional[dict] = None,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """x: (B, H, W, C_in) -> (features, positional embeddings), NHWC lists."""
+    if cfg.position_embedding not in ("sine", "v2"):
+        # the reference's learned PE (position_encoding.py:59-83) has a fixed
+        # channel count that cannot match any backbone level; it is dead in
+        # practice and not reproduced here
+        raise NotImplementedError(
+            f"position_embedding={cfg.position_embedding!r} not supported"
+        )
     if "init_conv" in params:
         x = fnn.conv2d(params["init_conv"], x)
     name = cfg.backbone

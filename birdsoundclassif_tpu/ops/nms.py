@@ -89,7 +89,12 @@ def greedy_nms(
 batched_greedy_nms = jax.vmap(greedy_nms, in_axes=(0, 0, 0, None))
 
 
-def greedy_nms_in_order(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+def greedy_nms_in_order(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    valid_prefix: bool = False,
+) -> jnp.ndarray:
     """Greedy NMS iterating in the GIVEN order (no score sort).
 
     The reference's nms() assumes its input is already ordered and simply
@@ -97,9 +102,40 @@ def greedy_nms_in_order(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: floa
     (class, window, rank) order rather than global score order
     (reference: run_detection.py:230-233 with nets_utils.py:210-245), so the
     keep-set depends on that order. Returns keep mask aligned with input.
+
+    valid_prefix=True asserts that all valid entries precede all invalid
+    ones; the scan then runs only valid.sum() iterations (a while_loop)
+    instead of the full padded length — the fixed-slot arrays are often
+    >90% padding in the cross-window merge.
     """
     boxes = boxes.astype(jnp.float32)
-    if boxes.shape[0] <= _MATRIX_NMS_MAX:
+    n = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    idx = jnp.arange(n)
+
+    def suppress_from(i, keep):
+        bi = boxes[i]
+        iw = jnp.clip(jnp.minimum(x2, bi[2]) - jnp.maximum(x1, bi[0]) + 1.0, 0.0)
+        ih = jnp.clip(jnp.minimum(y2, bi[3]) - jnp.maximum(y1, bi[1]) + 1.0, 0.0)
+        inter = iw * ih
+        row = inter / (areas + areas[i] - inter)
+        return keep & ~((row >= iou_thresh) & (idx > i) & keep[i])
+
+    if valid_prefix:
+        n_valid = valid.sum()
+
+        def cond(state):
+            i, _ = state
+            return i < n_valid
+
+        def body(state):
+            i, keep = state
+            return i + 1, suppress_from(i, keep)
+
+        _, keep = jax.lax.while_loop(cond, body, (jnp.int32(0), valid))
+        return keep
+    if n <= _MATRIX_NMS_MAX:
         iou = iou_matrix(boxes, boxes)
         return _sequential_keep_from_matrix(iou, valid, iou_thresh)
     return _sequential_keep_streaming(boxes, valid, iou_thresh)
