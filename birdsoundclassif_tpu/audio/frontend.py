@@ -16,8 +16,11 @@ prepare_dataset.py:108-294) with an on-device design:
     prepare_dataset.py:255-294 — including its stepwise reflect-pad loop,
     reproduced on index vectors instead of data).
 
-Everything between "PCM samples" and "(n_windows, 375, 1024) normalized
-image batch" has fixed shapes per block and compiles once.
+Host-link discipline (the TPU may sit behind a slow tunnel): the PCM
+samples cross host->device exactly once, each 5e7-sample chunk is one
+compiled dispatch (a fori_loop over frame blocks with on-device min/max
+accumulation), and nothing syncs back to the host. All shapes are bucketed
+so a directory sweep reuses a handful of compilations.
 """
 
 from __future__ import annotations
@@ -31,6 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FrontendConfig
+
+FRAME_BUCKET = 8192  # spectrogram column allocation granularity
 
 
 # ---------------------------------------------------------------------------
@@ -65,19 +70,17 @@ def amp_to_db(x: jnp.ndarray, min_level_db: float = -100.0) -> jnp.ndarray:
     return 20.0 * jnp.log10(jnp.maximum(min_level, x))
 
 
-def _frame_block(padded: jnp.ndarray, n_frames: int, hop: int, win: int) -> jnp.ndarray:
-    """(n_frames, win) overlapping frames from a 1-D padded block.
+def _frame_block(padded: jnp.ndarray, start: jnp.ndarray, n_frames: int, hop: int,
+                 win: int) -> jnp.ndarray:
+    """(n_frames, win) overlapping frames starting at `start` (traced).
 
     Uses ceil(win/hop) contiguous strided reshapes + one concat — pure layout
     ops that XLA fuses, avoiding a 10M-element gather.
     """
     n_seg = -(-win // hop)  # ceil
-    # input must be (n_frames + n_seg - 1) * hop long so every strided
-    # segment slice is in bounds (dynamic_slice clamps silently otherwise)
     segs = []
     for s in range(n_seg):
-        start = s * hop
-        seg = jax.lax.dynamic_slice_in_dim(padded, start, n_frames * hop)
+        seg = jax.lax.dynamic_slice_in_dim(padded, start + s * hop, n_frames * hop)
         segs.append(seg.reshape(n_frames, hop))
     return jnp.concatenate(segs, axis=1)[:, :win]
 
@@ -87,26 +90,53 @@ def frame_block_input_len(n_frames: int, hop: int, win: int) -> int:
     return (n_frames + n_seg - 1) * hop
 
 
-@partial(jax.jit, static_argnames=("n_frames", "hop", "n_fft", "low_idx", "high_idx", "db_floor"))
-def _stft_db_block(
-    padded: jnp.ndarray,
-    n_frames: int,
+@partial(
+    jax.jit,
+    static_argnames=("n_blocks", "bf", "hop", "n_fft", "low_idx", "high_idx", "db_floor"),
+    donate_argnums=(1,),
+)
+def _chunk_spectrogram(
+    padded: jnp.ndarray,        # (662 + L_bucket + 662,) centered, zero-padded
+    out_buf: jnp.ndarray,       # (h_pix, T_alloc) — donated, written in place
+    out_offset: jnp.ndarray,    # int32: first output column of this chunk
+    n_frames_real: jnp.ndarray,  # int32: live frames in this chunk
+    gmin: jnp.ndarray,
+    gmax: jnp.ndarray,
+    n_blocks: int,
+    bf: int,
     hop: int,
     n_fft: int,
     low_idx: int,
     high_idx: int,
     db_floor: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One block of frames -> (dB rows (h_pix, n_frames), block min, block max)."""
-    frames = _frame_block(padded, n_frames, hop, n_fft)
+):
+    """One dispatch per chunk: fori over frame blocks, DFT matmul on the
+    MXU, dB + crop, masked min/max accumulation, in-place column writes."""
     m = jnp.asarray(_hann_rdft_matrix(n_fft))
     n_bins = n_fft // 2 + 1
-    spec = frames @ m  # (n_frames, 2*n_bins) — MXU
-    re, im = spec[:, :n_bins], spec[:, n_bins:]
-    mag = jnp.sqrt(re * re + im * im)
-    db = amp_to_db(mag, db_floor)
-    crop = db[:, low_idx:high_idx].T  # (h_pix, n_frames)
-    return crop, crop.min(), crop.max()
+
+    def body(k, state):
+        buf, mn, mx = state
+        start = k * bf * hop
+        frames = _frame_block(padded, start, bf, hop, n_fft)
+        spec = frames @ m
+        re, im = spec[:, :n_bins], spec[:, n_bins:]
+        mag = jnp.sqrt(re * re + im * im)
+        db = amp_to_db(mag, db_floor)[:, low_idx:high_idx].T  # (h_pix, bf)
+        cols = k * bf + jnp.arange(bf)
+        valid = cols < n_frames_real
+        mn = jnp.minimum(mn, jnp.where(valid[None, :], db, jnp.inf).min())
+        mx = jnp.maximum(mx, jnp.where(valid[None, :], db, -jnp.inf).max())
+        buf = jax.lax.dynamic_update_slice(buf, db, (0, out_offset + k * bf))
+        return buf, mn, mx
+
+    return jax.lax.fori_loop(0, n_blocks, body, (out_buf, gmin, gmax))
+
+
+@jax.jit
+def _normalize(buf: jnp.ndarray, gmin: jnp.ndarray, gmax: jnp.ndarray) -> jnp.ndarray:
+    denom = jnp.where(gmax > gmin, gmax - gmin, 1.0)
+    return (buf - gmin) / denom
 
 
 # ---------------------------------------------------------------------------
@@ -161,29 +191,37 @@ def window_column_indices(
 class FrontendResult:
     """Normalized spectrogram + window tiling of one audio file."""
 
-    spec: jnp.ndarray          # (h_pix, total_frames) float32 in [0, 1]
+    spec_padded: jnp.ndarray   # (h_pix, T_alloc) float32 in [0, 1]; columns
+                               # >= total_frames are padding
     window_cols: np.ndarray    # (n_windows, w_pix) int32
     total_frames: int          # == reference File_Processor.spectrogram_length
-    s_min: float
-    s_max: float
+    s_min: jnp.ndarray         # device scalars (converted lazily)
+    s_max: jnp.ndarray
 
     @property
     def n_windows(self) -> int:
         return self.window_cols.shape[0]
 
+    @property
+    def spec(self) -> np.ndarray:
+        """Exact (h_pix, total_frames) spectrogram, materialized on host."""
+        return np.asarray(self.spec_padded)[:, : self.total_frames]
+
     def windows(self) -> jnp.ndarray:
         """(n_windows, h_pix, w_pix) batch, gathered on device."""
-        return jnp.take(self.spec, jnp.asarray(self.window_cols), axis=1).transpose(1, 0, 2)
+        return jnp.take(self.spec_padded, jnp.asarray(self.window_cols), axis=1).transpose(
+            1, 0, 2
+        )
 
 
 class SpectrogramFrontend:
     """wav samples -> normalized spectrogram windows, on device.
 
-    block_frames bounds per-step memory: each jit step processes a fixed
+    block_frames bounds per-step VMEM/HBM: each fori step processes a fixed
     number of STFT frames (compiled once, reused across files and blocks).
     """
 
-    def __init__(self, cfg: FrontendConfig | None = None, block_frames: int = 65536):
+    def __init__(self, cfg: FrontendConfig | None = None, block_frames: int = 16384):
         self.cfg = cfg or FrontendConfig()
         self.block_frames = block_frames
 
@@ -198,53 +236,57 @@ class SpectrogramFrontend:
                 spans.append((s, e))
         return spans
 
-    def _chunk_db(self, samples: np.ndarray) -> Tuple[List[jnp.ndarray], float, float]:
+    def process(self, samples: np.ndarray, empty_width: Optional[int] = None) -> FrontendResult:
+        """Full front-end for one file's PCM samples (44.1 kHz mono f32).
+
+        One host->device transfer (the samples), one dispatch per 5e7-sample
+        chunk, one normalize dispatch; no host syncs.
+        """
         cfg = self.cfg
         hop, n_fft = cfg.hop_length, cfg.win_length
         pad = n_fft // 2
         bf = self.block_frames
-        pieces: List[jnp.ndarray] = []
-        gmin, gmax = np.inf, -np.inf
-        n_frames_total = 1 + len(samples) // hop
-        # librosa center=True, pad_mode='constant' (zeros)
-        padded = np.zeros(len(samples) + 2 * pad, dtype=np.float32)
-        padded[pad:pad + len(samples)] = samples
-        block_in_len = frame_block_input_len(bf, hop, n_fft)
-        for b0 in range(0, n_frames_total, bf):
-            nb = min(bf, n_frames_total - b0)
-            s = b0 * hop
-            block = padded[s:s + block_in_len]
-            if block.size < block_in_len:
-                block = np.pad(block, (0, block_in_len - block.size))
-            db, bmin, bmax = _stft_db_block(
-                jnp.asarray(block), bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor
-            )
-            db = db[:, :nb]
-            # block min/max must ignore padded garbage frames
-            bmin = float(db.min()) if nb < bf else float(bmin)
-            bmax = float(db.max()) if nb < bf else float(bmax)
-            gmin, gmax = min(gmin, bmin), max(gmax, bmax)
-            pieces.append(db)
-        return pieces, gmin, gmax
-
-    def process(self, samples: np.ndarray, empty_width: Optional[int] = None) -> FrontendResult:
-        """Full front-end for one file's PCM samples (44.1 kHz mono float32)."""
         samples = np.asarray(samples, dtype=np.float32)
-        all_pieces: List[jnp.ndarray] = []
-        gmin, gmax = np.inf, -np.inf
-        for (s, e) in self._chunk_spans(len(samples)):
-            pieces, cmin, cmax = self._chunk_db(samples[s:e])
-            all_pieces.extend(pieces)
-            gmin, gmax = min(gmin, cmin), max(gmax, cmax)
-        spec_db = jnp.concatenate(all_pieces, axis=1)
-        denom = gmax - gmin
-        if denom == 0.0:
-            denom = 1.0
-        spec = (spec_db - gmin) / denom
-        total = spec.shape[1]
+        spans = self._chunk_spans(len(samples))
+        frames_per_chunk = [1 + (e - s) // hop for (s, e) in spans]
+        total = int(sum(frames_per_chunk))
+        # block writes of chunk c span [offset_c, offset_c + n_blocks_c*bf);
+        # the buffer must cover the largest write end (later chunks overwrite
+        # the spill of earlier ones, the last chunk's spill is dead columns)
+        write_end = 0
+        off = 0
+        for n_frames in frames_per_chunk:
+            write_end = max(write_end, off + (-(-n_frames // bf)) * bf)
+            off += n_frames
+        t_alloc = -(-max(total, write_end, 1) // FRAME_BUCKET) * FRAME_BUCKET
+
+        buf = jnp.zeros((cfg.h_pix, t_alloc), jnp.float32)
+        gmin = jnp.float32(jnp.inf)
+        gmax = jnp.float32(-jnp.inf)
+
+        out_offset = 0
+        for (s, e), n_frames in zip(spans, frames_per_chunk):
+            n_blocks = -(-n_frames // bf)
+            l_bucket = n_blocks * bf * hop
+            # centered zero padding (librosa center=True, pad_mode='constant')
+            # + trailing bucket pad, built on host so every transferred shape
+            # is bucketed (bounds compilations across a sweep); total padded
+            # length l_bucket + 2*pad covers every strided segment slice
+            padded_np = np.zeros((l_bucket + 2 * pad,), np.float32)
+            padded_np[pad:pad + (e - s)] = samples[s:e]
+            padded = jnp.asarray(padded_np)
+            buf, gmin, gmax = _chunk_spectrogram(
+                padded, buf, jnp.int32(out_offset), jnp.int32(n_frames),
+                gmin, gmax,
+                n_blocks, bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor,
+            )
+            out_offset += n_frames
+
+        spec = _normalize(buf, gmin, gmax)
         cols = window_column_indices(
-            total, self.cfg.w_pix, self.cfg.hop_spectro, empty_width=empty_width
+            total, cfg.w_pix, cfg.hop_spectro, empty_width=empty_width
         )
         return FrontendResult(
-            spec=spec, window_cols=cols, total_frames=total, s_min=gmin, s_max=gmax
+            spec_padded=spec, window_cols=cols, total_frames=total,
+            s_min=gmin, s_max=gmax,
         )
