@@ -39,10 +39,12 @@ def main():
     sr = cfg.frontend.sample_rate
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * sr)) / sr
-    samples = (
+    samples_f = (
         0.2 * np.sin(2 * np.pi * 2500.0 * t) * (np.sin(2 * np.pi * 0.7 * t) > 0)
         + 0.01 * rng.standard_normal(t.shape)
-    ).astype(np.float32)
+    )
+    # PCM16 int path: what real recordings are, and half the link bytes
+    samples = (np.clip(samples_f, -1, 1) * 32767).astype(np.int16)
 
     frontend = SpectrogramFrontend(cfg.frontend)
 

@@ -92,7 +92,8 @@ def frame_block_input_len(n_frames: int, hop: int, win: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("n_blocks", "bf", "hop", "n_fft", "low_idx", "high_idx", "db_floor"),
+    static_argnames=("n_blocks", "bf", "hop", "n_fft", "low_idx", "high_idx", "db_floor",
+                     "inv_scale"),
     donate_argnums=(1,),
 )
 def _chunk_spectrogram(
@@ -109,6 +110,7 @@ def _chunk_spectrogram(
     low_idx: int,
     high_idx: int,
     db_floor: float,
+    inv_scale: float = 1.0,
 ):
     """One dispatch per chunk: fori over frame blocks, DFT matmul on the
     MXU, dB + crop, masked min/max accumulation, in-place column writes."""
@@ -119,7 +121,8 @@ def _chunk_spectrogram(
         buf, mn, mx = state
         start = k * bf * hop
         frames = _frame_block(padded, start, bf, hop, n_fft)
-        spec = frames @ m
+        # int16 inputs dequantize here (value * 1/32768 == librosa PCM16)
+        spec = (frames.astype(jnp.float32) * inv_scale) @ m
         re, im = spec[:, :n_bins], spec[:, n_bins:]
         mag = jnp.sqrt(re * re + im * im)
         db = amp_to_db(mag, db_floor)[:, low_idx:high_idx].T  # (h_pix, bf)
@@ -246,7 +249,12 @@ class SpectrogramFrontend:
         hop, n_fft = cfg.hop_length, cfg.win_length
         pad = n_fft // 2
         bf = self.block_frames
-        samples = np.asarray(samples, dtype=np.float32)
+        samples = np.asarray(samples)
+        if samples.dtype == np.int16:
+            inv_scale = 1.0 / 32768.0   # transfer int16, dequantize on device
+        else:
+            samples = samples.astype(np.float32, copy=False)
+            inv_scale = 1.0
         spans = self._chunk_spans(len(samples))
         frames_per_chunk = [1 + (e - s) // hop for (s, e) in spans]
         total = int(sum(frames_per_chunk))
@@ -272,13 +280,14 @@ class SpectrogramFrontend:
             # + trailing bucket pad, built on host so every transferred shape
             # is bucketed (bounds compilations across a sweep); total padded
             # length l_bucket + 2*pad covers every strided segment slice
-            padded_np = np.zeros((l_bucket + 2 * pad,), np.float32)
+            padded_np = np.zeros((l_bucket + 2 * pad,), samples.dtype)
             padded_np[pad:pad + (e - s)] = samples[s:e]
             padded = jnp.asarray(padded_np)
             buf, gmin, gmax = _chunk_spectrogram(
                 padded, buf, jnp.int32(out_offset), jnp.int32(n_frames),
                 gmin, gmax,
                 n_blocks, bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor,
+                inv_scale,
             )
             out_offset += n_frames
 

@@ -122,14 +122,59 @@ def _decode_via_ffmpeg(path: str, target_sr: int) -> Tuple[np.ndarray, int]:
         os.unlink(tmp_path)
 
 
+def read_wav_int16(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """(int16 mono, sr) when the file is mono PCM16 — the dominant format
+    (the reference itself transcodes everything to pcm_s16le, prepare_
+    dataset.py:175). Returns None for any other layout."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = raw = None
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                raw = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or raw is None:
+            return None
+        audio_format, channels, sr, _, _, bits = fmt
+        if audio_format != 1 or bits != 16 or channels != 1:
+            return None
+        return np.frombuffer(raw, "<i2"), int(sr)
+    except Exception:
+        return None
+
+
 def load_audio(path: str, target_sr: int = 44_100) -> Optional[np.ndarray]:
     """Decode any supported audio file to mono float32 at target_sr.
 
     Returns None on failure (the reference skips unreadable files:
     prepare_dataset.py:160-165).
     """
+    x = load_audio_raw(path, target_sr)
+    if x is None:
+        return None
+    if x.dtype == np.int16:
+        return (x.astype(np.float32) / 32768.0)
+    return x
+
+
+def load_audio_raw(path: str, target_sr: int = 44_100) -> Optional[np.ndarray]:
+    """Like load_audio but keeps mono PCM16 at the target rate as int16 —
+    callers that move samples across a slow host->device link can transfer
+    half the bytes and dequantize on device (value/32768 == librosa)."""
     try:
         if path.lower().endswith(".wav"):
+            i16 = read_wav_int16(path)
+            if i16 is not None and i16[1] == target_sr:
+                return i16[0]
             x, sr = read_wav(path)
         else:
             x, sr = _decode_via_ffmpeg(path, target_sr)

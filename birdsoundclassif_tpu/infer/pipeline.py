@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio.frontend import SpectrogramFrontend
-from ..audio.wavio import load_audio
+from ..audio.wavio import load_audio_raw
 from ..config import NbmConfig
 from ..models.detector import NbmModel
 from ..models.rcnn import Detections
@@ -234,7 +234,7 @@ def run_detection(
 ) -> Optional[Dict[str, Dict[str, list]]]:
     """-> {species_name: {"bbox_coord": [[x1,y1,x2,y2], ...], "scores": [...]}}
     for species with at least one detection; None if the audio fails to load."""
-    samples = load_audio(wav_path, cfg.frontend.sample_rate)
+    samples = load_audio_raw(wav_path, cfg.frontend.sample_rate)
     if samples is None:
         return None
     frontend = frontend or SpectrogramFrontend(cfg.frontend)
