@@ -24,7 +24,7 @@ def main():
 
     from birdsoundclassif_tpu.config import NbmConfig
     from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
-    from birdsoundclassif_tpu.infer.pipeline import detect_windows, merge_detections
+    from birdsoundclassif_tpu.infer.pipeline import detect_samples
     from birdsoundclassif_tpu.models.detector import NbmModel
 
     seconds = float(os.environ.get("BENCH_SECONDS", "120"))
@@ -49,10 +49,7 @@ def main():
     frontend = SpectrogramFrontend(cfg.frontend)
 
     def run_once():
-        fe = frontend.process(samples)
-        det = detect_windows(params, cfg, fe.windows(), batch, min_score=0.2)
-        out = merge_detections(det, fe.total_frames, cfg)
-        return out
+        return detect_samples(params, cfg, samples, 0.2, batch, frontend)
 
     run_once()  # compile
     t0 = time.perf_counter()

@@ -223,6 +223,35 @@ def merge_detections(
 # ---------------------------------------------------------------------------
 
 
+def detect_samples(
+    params,
+    cfg,
+    samples: np.ndarray,
+    min_score: float,
+    bs: int,
+    frontend: Optional[SpectrogramFrontend] = None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """PCM samples (int16 or float32) -> per-class merged detections."""
+    frontend = frontend or SpectrogramFrontend(cfg.frontend)
+    fe_res = frontend.process(samples)
+    det = detect_spectrogram(
+        params, cfg, fe_res.spec_padded, fe_res.window_cols, bs, min_score
+    )
+    # pad detections to a power-of-two window bucket so the merge NMS
+    # compiles O(log) times across a sweep, not once per file length
+    n = fe_res.n_windows
+    n_bucket = 1 << max(4, (n - 1).bit_length())
+    if n_bucket != n:
+        pad = n_bucket - n
+        det = Detections(
+            boxes=jnp.pad(det.boxes, ((0, pad), (0, 0), (0, 0))),
+            scores=jnp.pad(det.scores, ((0, pad), (0, 0))),
+            classes=jnp.pad(det.classes, ((0, pad), (0, 0))),
+            valid=jnp.pad(det.valid, ((0, pad), (0, 0))),
+        )
+    return merge_detections(det, fe_res.total_frames, cfg, n_real=n)
+
+
 def run_detection(
     params,
     cfg,
@@ -237,24 +266,7 @@ def run_detection(
     samples = load_audio_raw(wav_path, cfg.frontend.sample_rate)
     if samples is None:
         return None
-    frontend = frontend or SpectrogramFrontend(cfg.frontend)
-    fe_res = frontend.process(samples)
-    det = detect_spectrogram(
-        params, cfg, fe_res.spec, fe_res.window_cols, bs, min_score
-    )
-    # pad detections to a power-of-two window bucket so the merge NMS
-    # compiles O(log) times across a sweep, not once per file length
-    n = fe_res.n_windows
-    n_bucket = 1 << max(4, (n - 1).bit_length())
-    if n_bucket != n:
-        pad = n_bucket - n
-        det = Detections(
-            boxes=jnp.pad(det.boxes, ((0, pad), (0, 0), (0, 0))),
-            scores=jnp.pad(det.scores, ((0, pad), (0, 0))),
-            classes=jnp.pad(det.classes, ((0, pad), (0, 0))),
-            valid=jnp.pad(det.valid, ((0, pad), (0, 0))),
-        )
-    class_bbox = merge_detections(det, fe_res.total_frames, cfg, n_real=n)
+    class_bbox = detect_samples(params, cfg, samples, min_score, bs, frontend)
     _, reverse = load_bird_dict(bird_dicts_path)
     output = {}
     for idx in range(1, cfg.num_classes + 1):
