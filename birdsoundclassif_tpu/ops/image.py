@@ -54,40 +54,36 @@ def _apply_separable(x: jnp.ndarray, mat_h: np.ndarray, mat_w: np.ndarray) -> jn
     return y.astype(dtype)
 
 
-@lru_cache(maxsize=None)
-def _lerp_indices(in_size: int, out_size: int):
-    """(lo, hi, w_hi) arrays for align_corners=True sampling."""
-    if out_size == 1:
-        return (np.zeros(1, np.int32), np.zeros(1, np.int32), np.zeros(1, np.float32))
-    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
-    lo = np.floor(src).astype(np.int32)
-    hi = np.minimum(lo + 1, in_size - 1).astype(np.int32)
-    return lo, hi, (src - lo).astype(np.float32)
+def _matmul_axis_h(x: jnp.ndarray, mat: np.ndarray) -> jnp.ndarray:
+    a = jnp.asarray(mat).astype(x.dtype)
+    return jnp.einsum("oh,...hwc->...owc", a, x)
 
 
-def _lerp_axis(x: jnp.ndarray, axis: int, in_size: int, out_size: int) -> jnp.ndarray:
-    lo, hi, w_hi = _lerp_indices(in_size, out_size)
-    xl = jnp.take(x, jnp.asarray(lo), axis=axis)
-    xh = jnp.take(x, jnp.asarray(hi), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    t = jnp.asarray(w_hi).reshape(shape)
-    y = xl.astype(jnp.float32) * (1.0 - t) + xh.astype(jnp.float32) * t
-    return y.astype(x.dtype)
+def _matmul_axis_w(x: jnp.ndarray, mat: np.ndarray) -> jnp.ndarray:
+    a = jnp.asarray(mat).astype(x.dtype)
+    return jnp.einsum("pw,...hwc->...hpc", a, x)
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize with align_corners=True, NHWC.
 
-    Implemented as two-point gather + lerp per axis (VPU, bandwidth-bound)
-    rather than dense interpolation matmuls: the matrices are 2-sparse, and
-    a dense (512, 256) W-upsample in the FPN costs ~2.4 TFLOP at batch 32 —
-    87 ms of pure waste measured on v5e."""
+    Interpolation matrices applied per axis as matmuls in the input dtype
+    (bf16 rides the MXU; f32 stays exact for parity tests). Spatial gathers
+    were measured far slower than dense matmuls on v5e, so matmul it is —
+    with the axis order chosen to minimize FLOPs (enlarge the cheap axis
+    last: W-first when upsampling roughly halves the big contraction)."""
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
-    y = x if h == out_h else _lerp_axis(x, x.ndim - 3, h, out_h)
-    return y if w == out_w else _lerp_axis(y, y.ndim - 2, w, out_w)
+    mh = _bilinear_matrix_align_corners(h, out_h)
+    mw = _bilinear_matrix_align_corners(w, out_w)
+    cost_hw = out_h * h * w + out_w * w * out_h   # H first
+    cost_wh = out_w * w * h + out_h * h * out_w   # W first
+    if cost_hw <= cost_wh:
+        y = x if h == out_h else _matmul_axis_h(x, mh)
+        return y if w == out_w else _matmul_axis_w(y, mw)
+    y = x if w == out_w else _matmul_axis_w(x, mw)
+    return y if h == out_h else _matmul_axis_h(y, mh)
 
 
 def adaptive_avg_pool(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -58,9 +58,34 @@ def load_params(model_dir: str, cfg=None) -> Any:
     if os.path.exists(npz):
         with np.load(npz) as data:
             return _unflatten({k: data[k] for k in data.files})
+    orbax_dir = os.path.join(model_dir, "orbax")
+    if os.path.isdir(orbax_dir):
+        return load_params_orbax(orbax_dir)
     pt = os.path.join(model_dir, "model_chkpt.pt")
     if os.path.exists(pt):
         from ..models.torch_convert import convert_torch_checkpoint
 
         return convert_torch_checkpoint(pt, cfg)
-    raise FileNotFoundError(f"no params.npz or model_chkpt.pt in {model_dir}")
+    raise FileNotFoundError(f"no params.npz, orbax/ or model_chkpt.pt in {model_dir}")
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (multi-host-safe, async-capable) — optional alternative to
+# the flat npz; used automatically when an `orbax/` subdir exists
+# ---------------------------------------------------------------------------
+
+
+def save_params_orbax(orbax_dir: str, params: Any) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(orbax_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+    return path
+
+
+def load_params_orbax(orbax_dir: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(orbax_dir))
