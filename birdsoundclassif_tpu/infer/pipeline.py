@@ -183,7 +183,17 @@ def _merge_on_device(
     # the candidate ordering puts all valid entries first, so the greedy
     # scan runs only valid.sum() iterations
     keep = greedy_nms_in_order(ob, ov, nms_thresh, valid_prefix=True)
-    return ob, flat_scores[order], flat_classes[order], keep
+    # pack into one array: a single host transfer instead of four (each
+    # device->host sync costs a full link round trip)
+    return jnp.concatenate(
+        [
+            ob,
+            flat_scores[order][:, None],
+            flat_classes[order][:, None].astype(jnp.float32),
+            keep[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 def merge_detections(
@@ -197,17 +207,19 @@ def merge_detections(
     1..num_classes, empty arrays when none (reference output schema).
     det may be padded beyond the real window count; pass n_real."""
     fe = cfg.frontend
-    boxes, scores, classes, keep = _merge_on_device(
-        det.boxes, det.scores, det.classes, det.valid,
-        jnp.int32(n_real if n_real is not None else det.scores.shape[0]),
-        jnp.float32(spectrogram_length),
-        fe.w_pix, fe.hop_spectro, cfg.num_classes, nms_thresh,
-        cfg.merge_nms_max_boxes,
+    packed = np.asarray(
+        _merge_on_device(
+            det.boxes, det.scores, det.classes, det.valid,
+            jnp.int32(n_real if n_real is not None else det.scores.shape[0]),
+            jnp.float32(spectrogram_length),
+            fe.w_pix, fe.hop_spectro, cfg.num_classes, nms_thresh,
+            cfg.merge_nms_max_boxes,
+        )
     )
-    boxes = np.asarray(boxes)
-    scores = np.asarray(scores)
-    classes = np.asarray(classes)
-    keep = np.asarray(keep)
+    boxes = packed[:, :4]
+    scores = packed[:, 4]
+    classes = packed[:, 5].astype(np.int32)
+    keep = packed[:, 6] > 0.5
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for j in range(1, cfg.num_classes + 1):
         m = keep & (classes == j)
