@@ -1,0 +1,120 @@
+"""Dataset-scale streaming inference sweep (BASELINE config #5).
+
+Processes a directory tree of recordings with the whole-pipeline-on-device
+path, data-parallel over the available chips: window batches are sharded
+over a 1-D mesh (multiple chips on one host), and multi-host pods shard the
+*file list* by process index (each host runs its local chips; no
+cross-host traffic is needed because files are independent).
+
+Usage:
+  python -m birdsoundclassif_tpu.infer.sweep --ckpt model_weights \
+      --audio_dir DIR [--batch 32] [--min_score 0.2] [--out results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sweep(
+    params,
+    cfg,
+    audio_dir: str,
+    batch: int = 32,
+    min_score: float = 0.2,
+    out_path: Optional[str] = None,
+    bird_dict_path: Optional[str] = None,
+):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..audio.frontend import SpectrogramFrontend
+    from ..audio.wavio import load_audio_raw
+    from ..infer.pipeline import detect_samples, load_bird_dict
+    from ..parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    if n_dev > 1:
+        mesh = make_mesh(devices)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        batch = -(-batch // n_dev) * n_dev  # divisible by the mesh
+    # multi-host: shard the file list by process
+    files = sorted(glob.glob(os.path.join(audio_dir, "**", "*.wav"), recursive=True))
+    files = files[jax.process_index()::jax.process_count()]
+
+    frontend = SpectrogramFrontend(cfg.frontend)
+    _, reverse = load_bird_dict(bird_dict_path)
+    sr = cfg.frontend.sample_rate
+
+    writer = open(out_path, "w") if out_path else None
+    total_audio_s = 0.0
+    t0 = time.perf_counter()
+    n_det = 0
+    for path in files:
+        samples = load_audio_raw(path, sr)
+        if samples is None:
+            continue
+        total_audio_s += len(samples) / sr
+        class_bbox = detect_samples(params, cfg, samples, min_score, batch, frontend)
+        output = {}
+        for idx in range(1, cfg.num_classes + 1):
+            entry = class_bbox[str(idx)]
+            if len(entry["bbox_coord"]) > 0:
+                output[reverse[idx]] = {
+                    "bbox_coord": entry["bbox_coord"].tolist(),
+                    "scores": entry["scores"].tolist(),
+                }
+                n_det += len(entry["scores"])
+        if writer:
+            writer.write(json.dumps({"file": path, "detections": output}) + "\n")
+            writer.flush()
+        # reference CLI behavior: one .txt per wav
+        with open(path.replace(".wav", ".txt"), "w") as f:
+            f.write(str(output))
+    elapsed = time.perf_counter() - t0
+    if writer:
+        writer.close()
+    stats = {
+        "files": len(files),
+        "audio_seconds": round(total_audio_s, 1),
+        "elapsed_seconds": round(elapsed, 2),
+        "realtime_factor": round(total_audio_s / max(elapsed, 1e-9), 1),
+        "detections": n_det,
+        "devices": n_dev,
+        "process": jax.process_index(),
+    }
+    print(json.dumps(stats))
+    return stats
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("NBM TPU dataset sweep")
+    p.add_argument("--ckpt", default="model_weights")
+    p.add_argument("--audio_dir", required=True)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--min_score", type=float, default=0.2)
+    p.add_argument("--out", default=None)
+    p.add_argument("--bird_dict", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host pods")
+    a = p.parse_args(argv)
+    if a.distributed:
+        jax.distributed.initialize()
+    from ..infer.pipeline import load_model
+
+    params, cfg = load_model(a.ckpt)
+    sweep(params, cfg, a.audio_dir, a.batch, a.min_score, a.out, a.bird_dict)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,51 @@
+"""Directory sweep smoke test on the virtual CPU mesh (8 devices)."""
+
+import json
+import wave
+
+import numpy as np
+import jax
+import pytest
+
+from birdsoundclassif_tpu.config import NbmConfig
+from birdsoundclassif_tpu.models import NbmModel
+
+
+def write_wav(path, samples, sr=44100):
+    x = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+def test_sweep_multidevice(tmp_path, rng, cpu_mesh_devices):
+    from birdsoundclassif_tpu.infer.sweep import sweep
+
+    cfg = NbmConfig()
+    cfg.num_classes = 5
+    cfg.out_fpn_chan = 16
+    cfg.fpn_p_chan = 24
+    cfg.depth_rcnn = 1
+    # small geometry keeps CPU compile fast; cfg.frontend derives the
+    # matching 128x256 window pipeline
+    cfg.img_height, cfg.img_width = 128, 256
+    cfg.pre_nms_topN_eval = 64
+    cfg.post_nms_topN_eval = 16
+    params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    for i in range(2):
+        write_wav(audio / f"rec{i}.wav", 0.1 * rng.standard_normal(44100 * 2))
+    out = tmp_path / "results.jsonl"
+    stats = sweep(params, cfg, str(audio), batch=8, min_score=0.0,
+                  out_path=str(out))
+    assert stats["files"] == 2
+    assert stats["devices"] == 8
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        rec = json.loads(line)
+        assert "detections" in rec
+    assert (audio / "rec0.txt").exists()
