@@ -27,7 +27,7 @@ def main():
     from birdsoundclassif_tpu.infer.pipeline import detect_samples
     from birdsoundclassif_tpu.models.detector import NbmModel
 
-    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "600"))  # nocturnal recordings are long
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
