@@ -24,7 +24,7 @@ from ..audio.wavio import load_audio_raw
 from ..config import NbmConfig
 from ..models.detector import NbmModel
 from ..models.rcnn import Detections
-from ..ops.nms import greedy_nms_in_order
+from ..ops.nms import greedy_nms_prefix
 from ..utils.checkpoint import load_params
 
 _ASSET_BIRD_DICT = os.path.join(os.path.dirname(__file__), "..", "assets", "bird_dict.json")
@@ -181,8 +181,10 @@ def _merge_on_device(
     ob = flat_boxes[order]
     ov = flat_valid[order]
     # the candidate ordering puts all valid entries first, so the greedy
-    # scan runs only valid.sum() iterations
-    keep = greedy_nms_in_order(ob, ov, nms_thresh, valid_prefix=True)
+    # scan runs only valid.sum() iterations (Pallas kernel on TPU)
+    keep = greedy_nms_prefix(
+        ob[None], ov.sum()[None].astype(jnp.int32), nms_thresh
+    )[0]
     # pack into one array: a single host transfer instead of four (each
     # device->host sync costs a full link round trip)
     return jnp.concatenate(

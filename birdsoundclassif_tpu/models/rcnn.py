@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from . import nn as fnn
 from .roi import roi_pool
 from ..ops.boxes import clip_boxes, decode_boxes
-from ..ops.nms import batched_greedy_nms
+from ..ops.nms import greedy_nms_prefix
 
 
 def rcnn_init(key, cfg) -> Dict:
@@ -111,10 +111,15 @@ def fast_rcnn_inference(
     boxes = decode_boxes(deltas.astype(jnp.float32), rois.astype(jnp.float32))
     boxes = clip_boxes(boxes, cfg.img_width, cfg.img_height)
 
-    # all-class NMS over non-background, valid RoIs
+    # all-class NMS over non-background, valid RoIs: sort to (valid-first,
+    # score-desc) greedy order, suppress, scatter back
     cand = roi_valid & (classes > 0)
-    order, keep_sorted = batched_greedy_nms(boxes, scores, cand, nms_thresh)
-    # scatter keep decisions back to original roi order
+    sort_key = jnp.where(cand, scores, -jnp.inf)
+    order = jnp.argsort(-sort_key, axis=1, stable=True)
+    sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    keep_sorted = greedy_nms_prefix(
+        sorted_boxes, cand.sum(axis=1).astype(jnp.int32), nms_thresh
+    )
     keep = jax.vmap(lambda o, k: jnp.zeros((r,), bool).at[o].set(k))(order, keep_sorted)
 
     # per-class cap at proposal_number (see module docstring for why the

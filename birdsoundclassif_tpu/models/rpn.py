@@ -24,7 +24,7 @@ from . import nn as fnn
 from ..ops.anchors import full_anchor_grid
 from ..ops.boxes import clip_boxes, decode_boxes
 from ..ops.image import adaptive_avg_pool
-from ..ops.nms import batched_greedy_nms, select_post_nms
+from ..ops.nms import greedy_nms_prefix, select_post_nms
 
 
 def rpn_init(key, cfg) -> Dict:
@@ -132,8 +132,12 @@ def proposal_layer(
     top_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     top_valid = jnp.broadcast_to(jnp.arange(pre_top)[None, :] < pre_eff, (b, pre_top))
 
-    nms_order, nms_keep = batched_greedy_nms(top_boxes, top_scores, top_valid, cfg.nms_thresh)
+    # top_boxes are score-sorted with the valid entries as a prefix — the
+    # exact greedy order, so the NMS needs no further sort
+    n_valid = jnp.broadcast_to(pre_eff, (b,)).astype(jnp.int32)
+    nms_keep = greedy_nms_prefix(top_boxes, n_valid, cfg.nms_thresh)
+    identity_order = jnp.broadcast_to(jnp.arange(pre_top)[None, :], (b, pre_top))
     rois, roi_scores, _, roi_valid = select_post_nms(
-        top_boxes, top_scores, nms_order, nms_keep, post_top
+        top_boxes, top_scores, identity_order, nms_keep, post_top
     )
     return Proposals(rois=rois, scores=roi_scores, valid=roi_valid, rpn_ok=rpn_ok)
