@@ -191,6 +191,8 @@ class NbmConfig:
     param_dtype: str = "float32"
     max_gt_boxes: int = 48            # fixed-shape padding of GT boxes
     merge_nms_max_boxes: int = 8192   # cap for the cross-window merge NMS
+    remat_backbone: bool = False      # jax.checkpoint the backbone in training
+                                      # (trades FLOPs for activation memory)
 
     def __post_init__(self) -> None:
         self.set_derived()

@@ -140,25 +140,56 @@ def collate_batch(items: List, max_gt: int) -> Dict[str, np.ndarray]:
 
 
 class BatchLoader:
-    """Simple shuffling host loader with a prefetch thread."""
+    """Shuffling host loader with thread-pool item fetch and pipelined batch
+    prefetch (the reference uses 4 DataLoader worker processes,
+    train.py:319; threads suffice here since PNG decode releases the GIL)."""
 
     def __init__(self, dataset: ImgDataset, indices: np.ndarray, batch_size: int,
                  max_gt: int, rng: Optional[np.random.Generator] = None,
-                 drop_last: bool = True):
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch_batches: int = 2):
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.rng = rng or np.random.default_rng()
         self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = max(0, prefetch_batches)
 
-    def __iter__(self):
+    def _batches(self):
         order = self.rng.permutation(self.indices)
         n = len(order)
         stop = n - (n % self.batch_size) if self.drop_last else n
         for i in range(0, stop, self.batch_size):
-            items = [self.dataset[int(j)] for j in order[i:i + self.batch_size]]
-            yield collate_batch(items, self.max_gt)
+            yield order[i:i + self.batch_size]
+
+    def __iter__(self):
+        import concurrent.futures as cf
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches + 1)
+        stop = object()
+
+        def producer():
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx_batch in self._batches():
+                        items = list(
+                            pool.map(self.dataset.__getitem__, map(int, idx_batch))
+                        )
+                        q.put(collate_batch(items, self.max_gt))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is stop:
+                break
+            yield batch
 
     def __len__(self):
         n = len(self.indices)

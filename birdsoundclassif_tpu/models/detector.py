@@ -88,7 +88,20 @@ class NbmModel:
         # per-op to the activation dtype; accumulation stays f32); box
         # geometry, NMS and losses remain f32 downstream
         samples = samples.astype(jnp.dtype(cfg.compute_dtype))
-        feats, pos = backbone_apply(params["backbone"], samples, cfg, training, bn_updates)
+        if training and cfg.remat_backbone:
+            # rematerialize backbone activations in the backward pass; BN
+            # stats flow out as a pytree so the checkpoint boundary is clean
+            def _bb(p, x):
+                bn_local: dict = {}
+                f, po = backbone_apply(p, x, cfg, True, bn_local)
+                return f, po, bn_local
+
+            feats, pos, bn_local = jax.checkpoint(_bb)(params["backbone"], samples)
+            if bn_updates is not None:
+                bn_updates.update(bn_local)
+        else:
+            feats, pos = backbone_apply(params["backbone"], samples, cfg, training,
+                                        bn_updates)
         if cfg.add_posenc:
             feats = [f + p for f, p in zip(feats, pos)]
         top_n = cfg.pyramid_top_n_attn
