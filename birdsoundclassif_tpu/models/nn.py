@@ -98,18 +98,56 @@ def conv2d(
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
     w = params["w"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(sh, sw),
-        padding=((ph, ph), (pw, pw)),
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    if groups == x.shape[-1] and dilation == 1 and groups > 1:
+        # pure depthwise: explicit tap formulation (see _depthwise_taps)
+        y = _depthwise_taps(w, x, (sh, sw), (ph, pw))
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y.astype(x.dtype)
+
+
+def _depthwise_taps(w: jnp.ndarray, x: jnp.ndarray, stride, padding) -> jnp.ndarray:
+    """Depthwise conv as kh*kw strided-slice multiply-adds.
+
+    TPU grouped convs are slow on the forward pass and their gradient
+    lowers to a pathological im2col buffer (a bogus 50 GB allocation was
+    observed for a stride-8 depthwise conv at 188x512). Depthwise convs are
+    VPU-bound, so explicit taps are both faster and autodiff-clean.
+
+    w: (kh, kw, 1, C*m) with torch group layout (out o reads in o // m).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    b, h, wi, c = x.shape
+    m = w.shape[3] // c
+    sh, sw = stride
+    ph, pw = padding
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    h_out = (h + 2 * ph - kh) // sh + 1
+    w_out = (wi + 2 * pw - kw) // sw + 1
+    if m > 1:
+        xp = jnp.repeat(xp, m, axis=3)  # channel pattern matches o // m
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (b, dy + (h_out - 1) * sh + 1, dx + (w_out - 1) * sw + 1, c * m),
+                (1, sh, sw, 1),
+            )
+            term = sl * w[dy, dx, 0]
+            acc = term if acc is None else acc + term
+    return acc
 
 
 # ---------------------------------------------------------------------------
