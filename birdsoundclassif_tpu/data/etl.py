@@ -262,6 +262,11 @@ def _process_slice(samples, labels, filename, cfg, frontend, is_mp3):
         annots = merge_and_filter_labels(
             labels, filename, res.n_windows, res.total_frames, cfg, is_mp3
         )
+        if annots is None:
+            # unusable/empty annotations for a labeled run: the reference
+            # raises and skips the whole file (prepare_dataset.py:150-154,
+            # 313-315) rather than emitting negatives
+            return None, None
     return wins, annots
 
 

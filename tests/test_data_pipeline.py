@@ -128,3 +128,30 @@ class TestPrepareDataset:
         state2, losses = train_step(state, batch_j, jax.random.PRNGKey(1),
                                     negative_sample=False)
         assert np.isfinite(float(losses["total"]))
+
+
+class TestEtlSkipRules:
+    def test_unannotated_file_skipped(self, tmp_path, rng):
+        """A wav with no usable annotation rows is skipped entirely in a
+        labeled ETL run (reference: prepare_dataset.py:150-154)."""
+        sr = 44100
+        d = tmp_path / "rec"
+        d.mkdir()
+        write_wav(d / "labeled#XC1.wav", 0.1 * rng.standard_normal(sr * 2), sr)
+        (d / "labeled#XC1.txt").write_text(
+            "0.50\t1.00\tTurdus merula\n\\\t2500\t3500\n"
+        )
+        write_wav(d / "unlabeled#XC2.wav", 0.1 * rng.standard_normal(sr * 2), sr)
+        # annotation present but only noise rows -> suppressed -> empty
+        (d / "unlabeled#XC2.txt").write_text(
+            "0.50\t1.00\tBruit de fond\n\\\t500\t900\n"
+        )
+        out = tmp_path / "ds"
+        prepare_dataset(str(d), str(out))
+        pos = os.listdir(out / "positive_files")
+        assert len(pos) == 1 and "labeled" in pos[0]
+        neg_root = out / "negative_files"
+        negs = os.listdir(neg_root) if neg_root.exists() else []
+        # the short labeled file has a single window (all positive), the
+        # unlabeled file must be skipped -> no negative dirs at all here
+        assert all("unlabeled" not in n for n in negs)
