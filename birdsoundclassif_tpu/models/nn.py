@@ -98,8 +98,11 @@ def conv2d(
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
     w = params["w"].astype(x.dtype)
-    if groups == x.shape[-1] and dilation == 1 and groups > 1:
-        # pure depthwise: explicit tap formulation (see _depthwise_taps)
+    if groups == x.shape[-1] and dilation == 1 and groups > 1 and _TAPS_MODE[0]:
+        # pure depthwise in training: explicit tap formulation (see
+        # _depthwise_taps). At inference the lax grouped conv is faster
+        # (taps read the input kh*kw times); its *gradient* is what is
+        # pathological, so taps are used only under depthwise_taps_mode().
         y = _depthwise_taps(w, x, (sh, sw), (ph, pw))
     else:
         y = jax.lax.conv_general_dilated(
@@ -114,6 +117,22 @@ def conv2d(
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y.astype(x.dtype)
+
+
+_TAPS_MODE = [False]
+
+
+class depthwise_taps_mode:
+    """Trace-time switch: inside this context depthwise convs use the
+    tap formulation (autodiff-clean; the lax grouped-conv gradient lowers
+    to a bogus ~50 GB buffer for large strided depthwise convs on TPU)."""
+
+    def __enter__(self):
+        self._prev = _TAPS_MODE[0]
+        _TAPS_MODE[0] = True
+
+    def __exit__(self, *exc):
+        _TAPS_MODE[0] = self._prev
 
 
 def _depthwise_taps(w: jnp.ndarray, x: jnp.ndarray, stride, padding) -> jnp.ndarray:

@@ -89,6 +89,12 @@ def make_train_step(cfg, tx):
     wd = L.weight_dict(cfg)
 
     def compute_losses(params, batch, key, negative_sample: bool):
+        from ..models.nn import depthwise_taps_mode
+
+        with depthwise_taps_mode():
+            return _compute_losses_inner(params, batch, key, negative_sample)
+
+    def _compute_losses_inner(params, batch, key, negative_sample: bool):
         bn: Dict = {}
         img = batch["neg_img"] if negative_sample else batch["img"]
         out1 = NbmModel.forward_first_stage(

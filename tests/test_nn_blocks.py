@@ -142,3 +142,34 @@ class TestDepthwiseSepConv:
             pe=jnp.asarray(to_nhwc(pe)) if with_pe else None,
         )))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestDepthwiseTapsMode:
+    @pytest.mark.parametrize("stride,exp", [(1, 2), (2, 1), (8, 2)])
+    def test_taps_equals_lax(self, rng, stride, exp):
+        """Training-mode tap formulation == lax grouped conv."""
+        indim = 6
+        x = jnp.asarray(rng.normal(size=(2, 33, 49, indim)).astype(np.float32))
+        p = {
+            "w": jnp.asarray(rng.normal(size=(3, 3, 1, exp * indim)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(exp * indim,)).astype(np.float32)),
+        }
+        base = fnn.conv2d(p, x, stride=stride, padding=1, groups=indim)
+        with fnn.depthwise_taps_mode():
+            taps = fnn.conv2d(p, x, stride=stride, padding=1, groups=indim)
+        np.testing.assert_allclose(np.asarray(taps), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_taps_gradient_finite(self, rng):
+        import jax
+
+        indim = 4
+        x = jnp.asarray(rng.normal(size=(1, 16, 24, indim)).astype(np.float32))
+        p = {"w": jnp.asarray(rng.normal(size=(3, 3, 1, 2 * indim)).astype(np.float32))}
+
+        def loss(p):
+            with fnn.depthwise_taps_mode():
+                return fnn.conv2d(p, x, stride=8, padding=1, groups=indim).sum()
+
+        g = jax.grad(loss)(p)
+        assert np.isfinite(np.asarray(g["w"])).all()
