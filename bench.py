@@ -1,9 +1,11 @@
-"""Benchmark: end-to-end inference throughput in audio-hours/sec/chip.
+"""Benchmark: sustained end-to-end inference throughput in audio-hours/sec/chip.
 
-Runs the full pipeline (PCM -> device STFT -> window batch -> detector ->
-cross-window merge) on synthetic audio with the flagship config and prints
-ONE JSON line. Baseline: 50x real-time (BASELINE.md north star) ==
-50/3600 audio-hours/sec.
+Measures the dataset-sweep path on synthetic recordings with the flagship
+config: PCM -> device STFT -> window batches -> detector -> cross-window
+merge, with the next file's decode/transfer/STFT prefetched under the
+current file's detector work (exactly what infer/sweep.py does in
+production). Prints ONE JSON line. Baseline: 50x real-time (BASELINE.md
+north star) == 50/3600 audio-hours/sec.
 """
 
 import json
@@ -20,18 +22,19 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    import jax.numpy as jnp
 
     from birdsoundclassif_tpu.config import NbmConfig
     from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
-    from birdsoundclassif_tpu.infer.pipeline import detect_samples
+    from birdsoundclassif_tpu.infer.pipeline import (
+        FilePrefetcher,
+        detect_from_frontend,
+    )
     from birdsoundclassif_tpu.models.detector import NbmModel
-
-    seconds = float(os.environ.get("BENCH_SECONDS", "600"))  # nocturnal recordings are long
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-
     from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
+
+    seconds = float(os.environ.get("BENCH_SECONDS", "600"))  # typical recording
+    n_files = int(os.environ.get("BENCH_FILES", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     cfg = NbmConfig()
     params = fold_frozen_bn(NbmModel.init(jax.random.PRNGKey(0), cfg), cfg)
@@ -39,25 +42,38 @@ def main():
     sr = cfg.frontend.sample_rate
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * sr)) / sr
-    samples_f = (
-        0.2 * np.sin(2 * np.pi * 2500.0 * t) * (np.sin(2 * np.pi * 0.7 * t) > 0)
-        + 0.01 * rng.standard_normal(t.shape)
-    )
-    # PCM16 int path: what real recordings are, and half the link bytes
-    samples = (np.clip(samples_f, -1, 1) * 32767).astype(np.int16)
 
+    def make_file(i):
+        f0 = 1500.0 + 700.0 * i
+        sig = (
+            0.2 * np.sin(2 * np.pi * f0 * t) * (np.sin(2 * np.pi * 0.7 * t + i) > 0)
+            + 0.01 * rng.standard_normal(t.shape)
+        )
+        # PCM16: what real recordings are, and half the link bytes
+        return (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+
+    files = [make_file(i) for i in range(n_files)]
     frontend = SpectrogramFrontend(cfg.frontend)
 
-    def run_once():
-        return detect_samples(params, cfg, samples, 0.2, batch, frontend)
+    # warm-up: compile every stage once
+    fe = frontend.process(files[0])
+    detect_from_frontend(params, cfg, fe, 0.2, batch)
 
-    run_once()  # compile
+    prefetcher = FilePrefetcher(frontend, sr)
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        run_once()
+    futs = [prefetcher.submit(files[0])]
+    n_det = 0
+    for i in range(n_files):
+        fe_res = futs[i].result()
+        if i + 1 < n_files:
+            futs.append(prefetcher.submit(files[i + 1]))
+        out = detect_from_frontend(params, cfg, fe_res, 0.2, batch)
+        n_det += sum(len(v["scores"]) for v in out.values())
     elapsed = time.perf_counter() - t0
+    prefetcher.close()
 
-    audio_hours_per_sec = (seconds * repeats / elapsed) / 3600.0
+    total_audio = seconds * n_files
+    audio_hours_per_sec = (total_audio / elapsed) / 3600.0
     baseline = 50.0 / 3600.0  # 50x real-time
     print(
         json.dumps(
@@ -67,11 +83,12 @@ def main():
                 "unit": "audio-hours/sec/chip",
                 "vs_baseline": round(audio_hours_per_sec / baseline, 3),
                 "detail": {
-                    "audio_seconds": seconds,
+                    "audio_seconds_total": total_audio,
+                    "files": n_files,
                     "batch": batch,
-                    "repeats": repeats,
                     "elapsed_sec": round(elapsed, 3),
-                    "realtime_factor": round(seconds * repeats / elapsed, 1),
+                    "realtime_factor": round(total_audio / elapsed, 1),
+                    "detections": n_det,
                     "device": str(jax.devices()[0]),
                 },
             }

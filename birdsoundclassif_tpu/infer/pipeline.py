@@ -232,6 +232,36 @@ def merge_detections(
     return out
 
 
+class FilePrefetcher:
+    """Overlaps the next file's host decode + H2D transfer + STFT dispatch
+    with the current file's detector work (one worker thread; JAX dispatch
+    is async so the device pipelines both). submit(path_or_samples) returns
+    a future resolving to (samples_or_path, FrontendResult) — None on decode
+    failure."""
+
+    def __init__(self, frontend: SpectrogramFrontend, sample_rate: int = 44_100):
+        import concurrent.futures as cf
+
+        self.frontend = frontend
+        self.sample_rate = sample_rate
+        self._pool = cf.ThreadPoolExecutor(1)
+
+    def _work(self, item):
+        if isinstance(item, (str, os.PathLike)):
+            samples = load_audio_raw(str(item), self.sample_rate)
+            if samples is None:
+                return None
+        else:
+            samples = item
+        return self.frontend.process(samples)
+
+    def submit(self, item):
+        return self._pool.submit(self._work, item)
+
+    def close(self):
+        self._pool.shutdown(wait=True)
+
+
 # ---------------------------------------------------------------------------
 # whole-file driver (reference: run_detection, run_detection.py:28-84)
 # ---------------------------------------------------------------------------
@@ -248,6 +278,16 @@ def detect_samples(
     """PCM samples (int16 or float32) -> per-class merged detections."""
     frontend = frontend or SpectrogramFrontend(cfg.frontend)
     fe_res = frontend.process(samples)
+    return detect_from_frontend(params, cfg, fe_res, min_score, bs)
+
+
+def detect_from_frontend(
+    params,
+    cfg,
+    fe_res,
+    min_score: float,
+    bs: int,
+) -> Dict[str, Dict[str, np.ndarray]]:
     det = detect_spectrogram(
         params, cfg, fe_res.spec_padded, fe_res.window_cols, bs, min_score
     )

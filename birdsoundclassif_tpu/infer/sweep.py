@@ -37,8 +37,7 @@ def sweep(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..audio.frontend import SpectrogramFrontend
-    from ..audio.wavio import load_audio_raw
-    from ..infer.pipeline import detect_samples, load_bird_dict
+    from ..infer.pipeline import FilePrefetcher, detect_from_frontend, load_bird_dict
     from ..parallel.mesh import make_mesh
 
     devices = jax.devices()
@@ -54,17 +53,23 @@ def sweep(
     frontend = SpectrogramFrontend(cfg.frontend)
     _, reverse = load_bird_dict(bird_dict_path)
     sr = cfg.frontend.sample_rate
+    dt = cfg.frontend.dt_actual
 
     writer = open(out_path, "w") if out_path else None
     total_audio_s = 0.0
     t0 = time.perf_counter()
     n_det = 0
-    for path in files:
-        samples = load_audio_raw(path, sr)
-        if samples is None:
+    # pipeline: file i+1's decode + transfer + STFT overlap file i's detector
+    prefetcher = FilePrefetcher(frontend, sr)
+    futs = [prefetcher.submit(f) for f in files[:1]]
+    for i, path in enumerate(files):
+        fe_res = futs[i].result()
+        if i + 1 < len(files):
+            futs.append(prefetcher.submit(files[i + 1]))
+        if fe_res is None:
             continue
-        total_audio_s += len(samples) / sr
-        class_bbox = detect_samples(params, cfg, samples, min_score, batch, frontend)
+        total_audio_s += fe_res.total_frames * dt
+        class_bbox = detect_from_frontend(params, cfg, fe_res, min_score, batch)
         output = {}
         for idx in range(1, cfg.num_classes + 1):
             entry = class_bbox[str(idx)]
@@ -81,6 +86,7 @@ def sweep(
         with open(path.replace(".wav", ".txt"), "w") as f:
             f.write(str(output))
     elapsed = time.perf_counter() - t0
+    prefetcher.close()
     if writer:
         writer.close()
     stats = {
