@@ -136,6 +136,11 @@ def _chunk_spectrogram(
     return jax.lax.fori_loop(0, n_blocks, body, (out_buf, gmin, gmax))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_chunk(buf: jnp.ndarray, db: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(buf, db, (0, offset))
+
+
 @jax.jit
 def _normalize(buf: jnp.ndarray, gmin: jnp.ndarray, gmax: jnp.ndarray) -> jnp.ndarray:
     denom = jnp.where(gmax > gmin, gmax - gmin, 1.0)
@@ -224,9 +229,12 @@ class SpectrogramFrontend:
     number of STFT frames (compiled once, reused across files and blocks).
     """
 
-    def __init__(self, cfg: FrontendConfig | None = None, block_frames: int = 16384):
+    def __init__(self, cfg: FrontendConfig | None = None, block_frames: int = 16384,
+                 use_pallas: bool = False):
         self.cfg = cfg or FrontendConfig()
-        self.block_frames = block_frames
+        # the Pallas fused kernel prefers smaller frame blocks (VMEM-bound)
+        self.use_pallas = use_pallas
+        self.block_frames = 256 if use_pallas else block_frames
 
     def _chunk_spans(self, n_samples: int) -> List[Tuple[int, int]]:
         """reference STFT chunking: range(int(len/5e7) + 1) slices
@@ -283,12 +291,23 @@ class SpectrogramFrontend:
             padded_np = np.zeros((l_bucket + 2 * pad,), samples.dtype)
             padded_np[pad:pad + (e - s)] = samples[s:e]
             padded = jnp.asarray(padded_np)
-            buf, gmin, gmax = _chunk_spectrogram(
-                padded, buf, jnp.int32(out_offset), jnp.int32(n_frames),
-                gmin, gmax,
-                n_blocks, bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor,
-                inv_scale,
-            )
+            if self.use_pallas:
+                from .pallas_stft import stft_db_pallas
+
+                db, mn, mx = stft_db_pallas(
+                    padded, jnp.int32(n_frames), n_blocks, bf, hop, n_fft,
+                    cfg.low_idx, cfg.high_idx, cfg.db_floor, inv_scale,
+                )
+                buf = _write_chunk(buf, db, jnp.int32(out_offset))
+                gmin = jnp.minimum(gmin, mn)
+                gmax = jnp.maximum(gmax, mx)
+            else:
+                buf, gmin, gmax = _chunk_spectrogram(
+                    padded, buf, jnp.int32(out_offset), jnp.int32(n_frames),
+                    gmin, gmax,
+                    n_blocks, bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor,
+                    inv_scale,
+                )
             out_offset += n_frames
 
         spec = _normalize(buf, gmin, gmax)
