@@ -9,7 +9,7 @@ layers.py:89-97 and layers.py:252-266).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

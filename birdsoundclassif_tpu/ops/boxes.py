@@ -8,7 +8,6 @@ define IoU-0.5 decisions and therefore mAP parity with the reference
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 IMG_SIZE = (375, 1024)  # (H, W) — reference: nets_utils.py:13

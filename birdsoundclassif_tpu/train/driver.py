@@ -15,15 +15,14 @@ import dataclasses
 import json
 import os
 import pickle
-import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np
 
 from ..config import NbmConfig
 from ..data.image_dataset import BatchLoader, ImgDataset
-from ..utils.checkpoint import load_params, save_params, _flatten, _unflatten
+from ..utils.checkpoint import load_params, save_params
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -9,9 +9,8 @@ BatchNorm running-stat merge. RPN/PTL failures are masked, not branched.
 
 from __future__ import annotations
 
-import copy
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ data-dependent early returns become ok-flags the loss masks on.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
