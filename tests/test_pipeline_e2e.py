@@ -202,3 +202,57 @@ class TestEndToEnd:
         assert txt.exists()
         parsed = eval(txt.read_text())  # reference writes python-repr dicts
         assert isinstance(parsed, dict)
+
+
+class TestTorchCheckpointE2E:
+    def test_load_model_from_torch_ckpt(self, tmp_path, small_model):
+        """A reference-format model_chkpt.pt (torch.save of
+        {'checkpoints': state_dict}) loads through load_model and yields the
+        same params as the source pytree."""
+        import torch
+
+        from birdsoundclassif_tpu.models.torch_convert import params_to_state_dict
+        from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
+
+        params, cfg = small_model
+        sd = {k: torch.tensor(v) for k, v in params_to_state_dict(params, cfg).items()}
+        ckpt_dir = tmp_path / "torch_ckpt"
+        ckpt_dir.mkdir()
+        cfg.save(str(ckpt_dir / "args"))
+        torch.save({"checkpoints": sd, "steps": 123}, str(ckpt_dir / "model_chkpt.pt"))
+
+        loaded, cfg2 = load_model(str(ckpt_dir))
+        # load_model folds frozen BN; fold the source the same way
+        want = _flatten(fold_frozen_bn(params, cfg))
+        got = _flatten(loaded)
+        assert set(want) == set(got)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                       atol=2e-6, err_msg=k)
+
+
+class TestMergeCap:
+    def test_capacity_cap_keeps_top_candidates(self, rng):
+        """When candidates exceed merge_nms_max_boxes, the lowest-ranked of
+        the (class, window, score) ordering are dropped."""
+        cfg = NbmConfig()
+        cfg.num_classes = 2
+        cfg.merge_nms_max_boxes = 8  # force the cap with 2 windows x 8 slots
+        n, r = 2, 8
+        boxes = np.zeros((n, r, 4), np.float32)
+        # well-separated boxes so NMS keeps everything that survives the cap
+        for i in range(n):
+            for j in range(r):
+                x = 40 + 120 * j
+                boxes[i, j] = [x, 50 + 40 * i, x + 30, 80 + 40 * i]
+        scores = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+        classes = np.ones((n, r), np.int32)
+        valid = np.ones((n, r), bool)
+        det = Detections(
+            boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
+            classes=jnp.asarray(classes), valid=jnp.asarray(valid),
+        )
+        out = merge_detections(det, 10_000, cfg)
+        total = sum(len(out[str(j)]["scores"]) for j in ("1", "2"))
+        assert total <= cfg.merge_nms_max_boxes
+        assert total > 0
