@@ -106,7 +106,7 @@ def make_train_step(cfg, tx):
             _, bbox_classes = NbmModel.forward_second_stage_train(
                 params, out1.fpn_out, jax.lax.stop_gradient(out1.rois), cfg, bn
             )
-            neg = L.second_stage_neg_loss(bbox_classes)
+            neg = L.second_stage_neg_loss(bbox_classes, out1.roi_valid)
             losses.update({k: v * rpn_ok for k, v in neg.items()})
         else:
             k_atl, k_ptl = jax.random.split(key)

@@ -11,7 +11,7 @@ All reductions reproduce the reference's normalizations exactly:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -102,9 +102,20 @@ def second_stage_loss(
     return {"sec_class_loss": class_loss, "sec_regression_loss": regression_loss}
 
 
-def second_stage_neg_loss(bbox_classes: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """reference: nbm_model.py:182-186."""
-    return {"sec_neg_class_loss": (-_safe_log(bbox_classes[:, 0])).mean()}
+def second_stage_neg_loss(
+    bbox_classes: jnp.ndarray,
+    roi_valid: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """reference: nbm_model.py:182-186 — background CE over the proposal
+    RoIs. The reference's RoI count is dynamic; our fixed slots carry a
+    validity mask, so padded slots are excluded from the mean."""
+    ce = -_safe_log(bbox_classes[:, 0])
+    if roi_valid is None:
+        return {"sec_neg_class_loss": ce.mean()}
+    v = roi_valid.reshape(-1)
+    return {
+        "sec_neg_class_loss": jnp.where(v, ce, 0.0).sum() / jnp.maximum(v.sum(), 1)
+    }
 
 
 def cardinality_error(bbox_classes: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
