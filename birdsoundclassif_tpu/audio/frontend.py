@@ -258,6 +258,8 @@ class SpectrogramFrontend:
         pad = n_fft // 2
         bf = self.block_frames
         samples = np.asarray(samples)
+        if samples.size == 0:
+            raise ValueError("empty audio: nothing to process")
         if samples.dtype == np.int16:
             inv_scale = 1.0 / 32768.0   # transfer int16, dequantize on device
         else:

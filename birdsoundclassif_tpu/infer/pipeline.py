@@ -249,10 +249,10 @@ class FilePrefetcher:
     def _work(self, item):
         if isinstance(item, (str, os.PathLike)):
             samples = load_audio_raw(str(item), self.sample_rate)
-            if samples is None:
-                return None
         else:
             samples = item
+        if samples is None or np.asarray(samples).size == 0:
+            return None
         return self.frontend.process(samples)
 
     def submit(self, item):
@@ -318,7 +318,7 @@ def run_detection(
     """-> {species_name: {"bbox_coord": [[x1,y1,x2,y2], ...], "scores": [...]}}
     for species with at least one detection; None if the audio fails to load."""
     samples = load_audio_raw(wav_path, cfg.frontend.sample_rate)
-    if samples is None:
+    if samples is None or samples.size == 0:
         return None
     class_bbox = detect_samples(params, cfg, samples, min_score, bs, frontend)
     _, reverse = load_bird_dict(bird_dicts_path)
