@@ -314,13 +314,19 @@ def run_detection(
     min_score: float = 0.5,
     bs: int = 10,
     frontend: Optional[SpectrogramFrontend] = None,
+    visualise_outputs: bool = False,
+    visualise_dir: Optional[str] = None,
 ) -> Optional[Dict[str, Dict[str, list]]]:
     """-> {species_name: {"bbox_coord": [[x1,y1,x2,y2], ...], "scores": [...]}}
-    for species with at least one detection; None if the audio fails to load."""
+    for species with at least one detection; None if the audio fails to load.
+    visualise_outputs saves per-window spectrogram plots with detection boxes
+    (reference: run_detection.py:80-82, visualise_model_out :252-316)."""
     samples = load_audio_raw(wav_path, cfg.frontend.sample_rate)
     if samples is None or samples.size == 0:
         return None
-    class_bbox = detect_samples(params, cfg, samples, min_score, bs, frontend)
+    frontend = frontend or SpectrogramFrontend(cfg.frontend)
+    fe_res = frontend.process(samples)
+    class_bbox = detect_from_frontend(params, cfg, fe_res, min_score, bs)
     _, reverse = load_bird_dict(bird_dicts_path)
     output = {}
     for idx in range(1, cfg.num_classes + 1):
@@ -330,4 +336,12 @@ def run_detection(
                 "bbox_coord": entry["bbox_coord"].tolist(),
                 "scores": entry["scores"].tolist(),
             }
+    if visualise_outputs:
+        from ..utils.visualize import visualise_model_out
+
+        out_dir = visualise_dir or (os.path.splitext(wav_path)[0] + "_plots")
+        visualise_model_out(
+            output, fe_res.spec, cfg.frontend.w_pix, cfg.frontend.hop_spectro,
+            out_dir=out_dir,
+        )
     return output

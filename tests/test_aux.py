@@ -122,3 +122,35 @@ class TestMultichipSharding:
         assert boxes.shape == (8, 16, 4)
         # output is actually distributed
         assert len(boxes.sharding.device_set) == 8
+
+
+class TestRunDetectionVisualise:
+    def test_plots_written(self, tmp_path, rng):
+        import wave
+
+        from birdsoundclassif_tpu.config import NbmConfig
+        from birdsoundclassif_tpu.models import NbmModel
+        from birdsoundclassif_tpu.infer.pipeline import run_detection
+
+        cfg = NbmConfig()
+        cfg.num_classes = 4
+        cfg.out_fpn_chan = 16
+        cfg.fpn_p_chan = 24
+        cfg.depth_rcnn = 1
+        cfg.img_height, cfg.img_width = 128, 256
+        cfg.pre_nms_topN_eval = 64
+        cfg.post_nms_topN_eval = 16
+        params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+        wav = tmp_path / "v.wav"
+        x = (np.clip(0.2 * rng.standard_normal(44100 * 2), -1, 1) * 32767).astype("<i2")
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(x.tobytes())
+        out = run_detection(params, cfg, str(wav), min_score=0.0, bs=4,
+                            visualise_outputs=True,
+                            visualise_dir=str(tmp_path / "plots"))
+        assert out is not None
+        if any(len(v["scores"]) for v in out.values()):
+            assert (tmp_path / "plots").exists()
