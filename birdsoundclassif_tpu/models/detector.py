@@ -88,33 +88,41 @@ class NbmModel:
         # per-op to the activation dtype; accumulation stays f32); box
         # geometry, NMS and losses remain f32 downstream
         samples = samples.astype(jnp.dtype(cfg.compute_dtype))
-        if training and cfg.remat_backbone:
-            # rematerialize backbone activations in the backward pass; BN
-            # stats flow out as a pytree so the checkpoint boundary is clean
-            def _bb(p, x):
-                bn_local: dict = {}
-                f, po = backbone_apply(p, x, cfg, True, bn_local)
-                return f, po, bn_local
 
-            feats, pos, bn_local = jax.checkpoint(_bb)(params["backbone"], samples)
+        def _trunk(p_backbone, p_attn, p_fpn, x, coll):
+            feats, pos = backbone_apply(p_backbone, x, cfg, training, coll)
+            if cfg.add_posenc:
+                feats = [f + p for f, p in zip(feats, pos)]
+            top_n = cfg.pyramid_top_n_attn
+            if cfg.fpn_first:
+                fpn_out = build_fpn_apply(p_fpn, cfg, feats, training, coll)
+                fpn_out = sa_pyramid_apply(p_attn, fpn_out, top_n)
+            elif cfg.sandwich_attn:
+                feats = sa_pyramid_apply(p_attn["0"], feats, top_n)
+                fpn_out = build_fpn_apply(p_fpn, cfg, feats, training, coll)
+                fpn_out = sa_pyramid_apply(p_attn["1"], fpn_out, top_n)
+            else:
+                feats = sa_pyramid_apply(p_attn, feats, top_n)
+                fpn_out = build_fpn_apply(p_fpn, cfg, feats, training, coll)
+            return fpn_out
+
+        if training and cfg.remat_backbone:
+            # rematerialize the whole trunk (backbone + attn + FPN) in the
+            # backward pass; BN stats flow out as a pytree so the checkpoint
+            # boundary stays clean
+            def _trunk_ckpt(p_b, p_a, p_f, x):
+                coll: dict = {}
+                return _trunk(p_b, p_a, p_f, x, coll), coll
+
+            fpn_out, bn_local = jax.checkpoint(_trunk_ckpt)(
+                params["backbone"], params["attn"], params["fpn"], samples
+            )
             if bn_updates is not None:
                 bn_updates.update(bn_local)
         else:
-            feats, pos = backbone_apply(params["backbone"], samples, cfg, training,
-                                        bn_updates)
-        if cfg.add_posenc:
-            feats = [f + p for f, p in zip(feats, pos)]
-        top_n = cfg.pyramid_top_n_attn
-        if cfg.fpn_first:
-            fpn_out = build_fpn_apply(params["fpn"], cfg, feats, training, bn_updates)
-            fpn_out = sa_pyramid_apply(params["attn"], fpn_out, top_n)
-        elif cfg.sandwich_attn:
-            feats = sa_pyramid_apply(params["attn"]["0"], feats, top_n)
-            fpn_out = build_fpn_apply(params["fpn"], cfg, feats, training, bn_updates)
-            fpn_out = sa_pyramid_apply(params["attn"]["1"], fpn_out, top_n)
-        else:
-            feats = sa_pyramid_apply(params["attn"], feats, top_n)
-            fpn_out = build_fpn_apply(params["fpn"], cfg, feats, training, bn_updates)
+            fpn_out = _trunk(
+                params["backbone"], params["attn"], params["fpn"], samples, bn_updates
+            )
         cls_scores, bbox_reg = rpn_apply(
             params["head"]["rpn"], fpn_out, cfg, training, bn_updates
         )
