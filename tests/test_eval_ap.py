@@ -108,3 +108,18 @@ class TestSlidingWindows:
         )
         assert recall == 1.0
         assert ap > 0
+
+
+class TestBirdnetFormat:
+    def test_format_model_output_birdnet(self):
+        from birdsoundclassif_tpu.eval.ap import format_model_output_df
+
+        # birdnet output shape: {(t0, t1): {"Genus species_Common": conf}}
+        model_outputs = [
+            ("f1.wav", {(0.0, 3.0): {"Turdus merula_Common Blackbird": 0.8},
+                        (3.0, 6.0): {"Erithacus rubecula_Robin": 0.5}}),
+        ]
+        df = format_model_output_df(model_outputs, src="birdnet")
+        assert len(df) == 2
+        assert set(df["species"]) == {"Turdus merula", "Erithacus rubecula"}
+        assert (df["file_idx"] == "f1").all()
