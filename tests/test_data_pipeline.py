@@ -155,3 +155,42 @@ class TestEtlSkipRules:
         # the short labeled file has a single window (all positive), the
         # unlabeled file must be skipped -> no negative dirs at all here
         assert all("unlabeled" not in n for n in negs)
+
+
+class TestLongFileSlicing:
+    def test_long_file_label_offsets(self, tmp_path, rng):
+        """Files above long_file_samples are processed in slices with label
+        time offsets (reference: process_long_file, prepare_dataset.py:187-225).
+        Shrunken thresholds make a 6s file 'long' (2 slices of ~3s)."""
+        from birdsoundclassif_tpu.data.etl import process_file
+        from birdsoundclassif_tpu.data.etl import create_label_dataset
+
+        sr = 44100
+        d = tmp_path / "rec"
+        d.mkdir()
+        t = np.arange(sr * 6) / sr
+        sig = 0.02 * rng.standard_normal(len(t))
+        # one call in slice 0 (1-2s), one in slice 1 (4-5s)
+        for lo, hi in [(1.0, 2.0), (4.0, 5.0)]:
+            m = (t > lo) & (t < hi)
+            sig[m] += 0.5 * np.sin(2 * np.pi * 3000 * t[m])
+        write_wav(d / "turdus_merula#XC5.wav", sig, sr)
+        (d / "turdus_merula#XC5.txt").write_text(
+            "1.00\t2.00\tTurdus merula\n\\\t2500\t3500\n"
+            "4.00\t5.00\tTurdus merula\n\\\t2500\t3500\n"
+        )
+        labels = create_label_dataset(str(d))
+        # long-file threshold: ~3s slices (rounded down to a multiple of sr)
+        cfg = FrontendConfig(long_file_samples=sr * 3 + 1000)
+        wins, annots = process_file(str(d / "turdus_merula#XC5.wav"), labels, cfg)
+        assert wins is not None and annots is not None
+        # slice 0: 3s -> 1 window; slice 1: 3s -> 1 window
+        assert len(wins) == 2
+        idx = sorted(annots["index"].tolist())
+        assert idx == [0, 1]  # one positive annotation row per slice window
+        # the second slice's call at absolute 4-5s must appear at ~1-2s
+        # within its own slice (offset by 3s)
+        row1 = annots.loc[annots["index"] == 1].iloc[0]
+        x1 = row1["coord"][0][0]
+        dt = cfg.dt_actual
+        assert abs(x1 - int(1.0 / dt)) <= 2
