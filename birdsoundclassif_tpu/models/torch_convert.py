@@ -127,16 +127,37 @@ def key_map(cfg) -> Dict[str, Tuple[str, str]]:
         conv(f"head.rpn.cls_score.{i}", f"head/rpn/cls_score/{i}")
         conv(f"head.rpn.bbox_reg.{i}", f"head/rpn/bbox_reg/{i}")
 
-    # ---- head: RCNN ----
+    # ---- head: RCNN (conv variant or Transformer_RCNN, layers.py:661-664) ----
     rc_t = "head.fast_rcnn.rcnn"
     rc_j = "head/rcnn"
-    conv(rc_t + ".pe_proj", rc_j + "/pe_proj")
-    for i in range(cfg.depth_rcnn):
-        dsc(f"{rc_t}.rcnn.{i}", f"{rc_j}/blocks/{i}", pe=True)
-    m[rc_t + ".bbox_reg_layer.weight"] = (rc_j + "/bbox_reg_layer/w", "rcnn_lin")
-    m[rc_t + ".bbox_reg_layer.bias"] = (rc_j + "/bbox_reg_layer/b", "raw")
-    m[rc_t + ".bbox_classif_layer.weight"] = (rc_j + "/bbox_classif_layer/w", "rcnn_lin")
-    m[rc_t + ".bbox_classif_layer.bias"] = (rc_j + "/bbox_classif_layer/b", "raw")
+    if cfg.tf_rcnn:
+        # Transformer_RCNN (layers.py:589-651). The embedding linears consume
+        # the RoI flatten, so their weights need the (C,ph,pw)->(ph,pw,C)
+        # row permute; the output heads consume model_dim tokens (plain lin).
+        for name in ("pos_embedding", "rois_embedding"):
+            m[f"{rc_t}.{name}.0.weight"] = (f"{rc_j}/{name}/w", "rcnn_lin")
+            m[f"{rc_t}.{name}.0.bias"] = (f"{rc_j}/{name}/b", "raw")
+        for i in range(cfg.tf_num_encoder_layers):
+            te = f"{rc_t}.encoder.layers.{i}"
+            je = f"{rc_j}/layers/{i}"
+            m[te + ".self_attn.in_proj_weight"] = (je + "/self_attn", "mha_w")
+            m[te + ".self_attn.in_proj_bias"] = (je + "/self_attn", "mha_b")
+            lin(te + ".self_attn.out_proj", je + "/self_attn/out")
+            lin(te + ".linear1", je + "/linear1")
+            lin(te + ".linear2", je + "/linear2")
+            for n in ("norm1", "norm2"):
+                m[f"{te}.{n}.weight"] = (f"{je}/{n}/scale", "raw")
+                m[f"{te}.{n}.bias"] = (f"{je}/{n}/bias", "raw")
+        lin(rc_t + ".bbox_reg_layer", rc_j + "/bbox_reg_layer")
+        lin(rc_t + ".bbox_classif_layer", rc_j + "/bbox_classif_layer")
+    else:
+        conv(rc_t + ".pe_proj", rc_j + "/pe_proj")
+        for i in range(cfg.depth_rcnn):
+            dsc(f"{rc_t}.rcnn.{i}", f"{rc_j}/blocks/{i}", pe=True)
+        m[rc_t + ".bbox_reg_layer.weight"] = (rc_j + "/bbox_reg_layer/w", "rcnn_lin")
+        m[rc_t + ".bbox_reg_layer.bias"] = (rc_j + "/bbox_reg_layer/b", "raw")
+        m[rc_t + ".bbox_classif_layer.weight"] = (rc_j + "/bbox_classif_layer/w", "rcnn_lin")
+        m[rc_t + ".bbox_classif_layer.bias"] = (rc_j + "/bbox_classif_layer/b", "raw")
     return m
 
 
@@ -159,12 +180,29 @@ def state_dict_to_params(
             missing.append(tk)
             continue
         v = np.asarray(state_dict[tk], dtype=np.float32)
-        if kind == "conv":
-            v = _conv_t2j(v)
-        elif kind == "lin":
-            v = _lin_t2j(v)
-        elif kind == "rcnn_lin":
-            v = _rcnn_lin_t2j(v, c, ph, pw)
+        try:
+            if kind == "conv":
+                v = _conv_t2j(v)
+            elif kind == "lin":
+                v = _lin_t2j(v)
+            elif kind == "rcnn_lin":
+                v = _rcnn_lin_t2j(v, c, ph, pw)
+            elif kind == "mha_w":
+                # packed torch in_proj_weight (3d, d) -> q/k/v (d, d) each
+                d = v.shape[1]
+                for n, chunk in zip(("q", "k", "v"), (v[:d], v[d : 2 * d], v[2 * d :])):
+                    flat[f"{jk}/{n}/w"] = _lin_t2j(chunk)
+                continue
+            elif kind == "mha_b":
+                d = v.shape[0] // 3
+                for n, chunk in zip(("q", "k", "v"), (v[:d], v[d : 2 * d], v[2 * d :])):
+                    flat[f"{jk}/{n}/b"] = np.ascontiguousarray(chunk)
+                continue
+        except ValueError as e:
+            raise ValueError(
+                f"checkpoint/config mismatch converting '{tk}' "
+                f"(shape {v.shape}, kind {kind}): {e}"
+            ) from None
         flat[jk] = v
     if missing:
         print(
@@ -183,6 +221,16 @@ def params_to_state_dict(params: Any, cfg) -> Dict[str, np.ndarray]:
     c, ph, pw = cfg.out_fpn_chan, cfg.roi_pool_h, cfg.roi_pool_w
     out: Dict[str, np.ndarray] = {}
     for tk, (jk, kind) in mapping.items():
+        if kind in ("mha_w", "mha_b"):
+            suffix = "w" if kind == "mha_w" else "b"
+            parts = [flat.get(f"{jk}/{n}/{suffix}") for n in ("q", "k", "v")]
+            if any(p is None for p in parts):
+                continue
+            parts = [np.asarray(p, dtype=np.float32) for p in parts]
+            if kind == "mha_w":
+                parts = [np.ascontiguousarray(p.T) for p in parts]
+            out[tk] = np.concatenate(parts, axis=0)
+            continue
         if jk not in flat:
             continue
         v = np.asarray(flat[jk], dtype=np.float32)
