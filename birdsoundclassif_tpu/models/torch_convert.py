@@ -84,21 +84,40 @@ def key_map(cfg) -> Dict[str, Tuple[str, str]]:
         conv("backbone.0.init_conv", "backbone/init_conv")
     b = "backbone.0.body"
     j = "backbone/body"
-    conv(b + ".conv1", j + "/conv1", bias=False)
-    bn(b + ".bn1", j + "/bn1")
-    from .backbone import RESNET_SPECS
+    if "vgg" in cfg.backbone:
+        # IntermediateLayerGetter over vgg16_bn.features keeps the original
+        # child indices (conv/bn/relu triplets + maxpools, backbone.py:78-80)
+        from .backbones_extra import _VGG16_CFG
 
-    spec = RESNET_SPECS[cfg.backbone]
-    for stage, n_blocks in enumerate(spec["layers"]):
-        for blk in range(n_blocks):
-            tb = f"{b}.layer{stage + 1}.{blk}"
-            jb = f"{j}/layer{stage + 1}/{blk}"
-            for ci in (1, 2, 3):
-                conv(f"{tb}.conv{ci}", f"{jb}/conv{ci}", bias=False)
-                bn(f"{tb}.bn{ci}", f"{jb}/bn{ci}")
-            if blk == 0:
-                conv(f"{tb}.downsample.0", f"{jb}/downsample/conv", bias=False)
-                bn(f"{tb}.downsample.1", f"{jb}/downsample/bn")
+        tv_idx = conv_i = 0
+        for v in _VGG16_CFG:
+            if v == "M":
+                tv_idx += 1
+                continue
+            conv(f"{b}.{tv_idx}", f"{j}/conv{conv_i}")
+            bn(f"{b}.{tv_idx + 1}", f"{j}/bn{conv_i}")
+            tv_idx += 3
+            conv_i += 1
+    elif "efficientnet" in cfg.backbone:
+        raise NotImplementedError(
+            "efficientnet checkpoint conversion is not wired into key_map yet"
+        )
+    else:
+        conv(b + ".conv1", j + "/conv1", bias=False)
+        bn(b + ".bn1", j + "/bn1")
+        from .backbone import RESNET_SPECS
+
+        spec = RESNET_SPECS[cfg.backbone]
+        for stage, n_blocks in enumerate(spec["layers"]):
+            for blk in range(n_blocks):
+                tb = f"{b}.layer{stage + 1}.{blk}"
+                jb = f"{j}/layer{stage + 1}/{blk}"
+                for ci in (1, 2, 3):
+                    conv(f"{tb}.conv{ci}", f"{jb}/conv{ci}", bias=False)
+                    bn(f"{tb}.bn{ci}", f"{jb}/bn{ci}")
+                if blk == 0:
+                    conv(f"{tb}.downsample.0", f"{jb}/downsample/conv", bias=False)
+                    bn(f"{tb}.downsample.1", f"{jb}/downsample/bn")
 
     # ---- attention pyramid ----
     n_layers = cfg.n_layers
