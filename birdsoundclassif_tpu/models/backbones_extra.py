@@ -191,6 +191,12 @@ def _mbconv_init(key, in_ch, out_ch, expand, kernel, use_se=True, fused=False):
     mid = in_ch * expand
     p: Dict = {}
     if fused:
+        if expand == 1:
+            # torchvision FusedMBConv without expansion is a single
+            # Conv2dNormActivation straight to out_ch (no project conv)
+            p["fused_conv"] = {"w": _tv_conv_w(keys[0], in_ch, out_ch, kernel)}
+            p["fused_bn"] = _bn(out_ch)
+            return p
         p["fused_conv"] = {"w": _tv_conv_w(keys[0], in_ch, mid, kernel)}
         p["fused_bn"] = _bn(mid)
     else:
@@ -240,11 +246,30 @@ def _mbconv_apply(p, x, stride, kernel, training, bn_updates, path,
         se = fnn.silu(fnn.conv2d(p["se_reduce"], se))
         se = jax.nn.sigmoid(fnn.conv2d(p["se_expand"], se))
         out = out * se
-    out = fnn.conv2d(p["project_conv"], out)
-    out = _apply_bn(p["project_bn"], out, training, bn_updates, path + "/project_bn")
+    if "project_conv" in p:  # absent for fused expand==1 (single-conv block)
+        out = fnn.conv2d(p["project_conv"], out)
+        out = _apply_bn(p["project_bn"], out, training, bn_updates, path + "/project_bn")
     if stride == 1 and out.shape[-1] == in_ch:
         out = out + inp  # stochastic depth omitted at eval; residual kept
     return out
+
+
+def efficientnet_block_specs(name: str):
+    """Per-block structure mirroring efficientnet_init, for the checkpoint
+    converter: list of (stage_idx, block_idx, fused, expand, use_se)."""
+    specs = []
+    if name.startswith("efficientnet_v2"):
+        for si, (block, expand, _k, _s, _out, repeats) in enumerate(
+            _EFFNET_V2_STAGES[name]
+        ):
+            for b in range(repeats):
+                specs.append((si, b, block == "fused", expand, block == "mb"))
+        return specs
+    _wm, dm = _EFFNET_SCALING[name]
+    for si, (expand, _k, _s, _out, repeats) in enumerate(_EFFNET_B0_STAGES):
+        for b in range(_round_repeats(repeats, dm)):
+            specs.append((si, b, False, expand, True))
+    return specs
 
 
 def efficientnet_init(key, name: str) -> Dict:

@@ -99,9 +99,39 @@ def key_map(cfg) -> Dict[str, Tuple[str, str]]:
             tv_idx += 3
             conv_i += 1
     elif "efficientnet" in cfg.backbone:
-        raise NotImplementedError(
-            "efficientnet checkpoint conversion is not wired into key_map yet"
-        )
+        # IntermediateLayerGetter over efficientnet.features: index 0 is the
+        # stem Conv2dNormActivation, indices 1..N the stages of MBConv /
+        # FusedMBConv blocks, and (v2 only) index N+1 the 1x1 head CNA
+        from .backbones_extra import _EFFNET_V2_STAGES, efficientnet_block_specs
+
+        conv(f"{b}.0.0", f"{j}/stem_conv", bias=False)
+        bn(f"{b}.0.1", f"{j}/stem_bn")
+        for si, bi, fused, expand, use_se in efficientnet_block_specs(cfg.backbone):
+            tb = f"{b}.{si + 1}.{bi}.block"
+            jb = f"{j}/stage{si}/{bi}"
+            if fused:
+                conv(f"{tb}.0.0", f"{jb}/fused_conv", bias=False)
+                bn(f"{tb}.0.1", f"{jb}/fused_bn")
+                if expand != 1:
+                    conv(f"{tb}.1.0", f"{jb}/project_conv", bias=False)
+                    bn(f"{tb}.1.1", f"{jb}/project_bn")
+                continue
+            idx = 0
+            if expand != 1:
+                conv(f"{tb}.0.0", f"{jb}/expand_conv", bias=False)
+                bn(f"{tb}.0.1", f"{jb}/expand_bn")
+                idx = 1
+            conv(f"{tb}.{idx}.0", f"{jb}/dw_conv", bias=False)
+            bn(f"{tb}.{idx}.1", f"{jb}/dw_bn")
+            if use_se:
+                conv(f"{tb}.{idx + 1}.fc1", f"{jb}/se_reduce")
+                conv(f"{tb}.{idx + 1}.fc2", f"{jb}/se_expand")
+            conv(f"{tb}.{idx + 2}.0", f"{jb}/project_conv", bias=False)
+            bn(f"{tb}.{idx + 2}.1", f"{jb}/project_bn")
+        if cfg.backbone.startswith("efficientnet_v2"):
+            head_i = len(_EFFNET_V2_STAGES[cfg.backbone]) + 1
+            conv(f"{b}.{head_i}.0", f"{j}/head_conv", bias=False)
+            bn(f"{b}.{head_i}.1", f"{j}/head_bn")
     else:
         conv(b + ".conv1", j + "/conv1", bias=False)
         bn(b + ".bn1", j + "/bn1")
