@@ -201,6 +201,10 @@ def backbone_init(key, cfg) -> Dict:
         params["init_conv"] = fnn.conv2d_init(
             k2, cfg.inpt_channels, 3, 1, init="torch_default"
         )
+    if cfg.position_embedding in ("learned", "v3"):
+        from ..ops.posenc import learned_pe_init
+
+        params["pos_embed"] = learned_pe_init(jax.random.fold_in(k2, 1))
     return params
 
 
@@ -212,11 +216,8 @@ def backbone_apply(
     bn_updates: Optional[dict] = None,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """x: (B, H, W, C_in) -> (features, positional embeddings), NHWC lists."""
-    if cfg.position_embedding not in ("sine", "v2"):
-        # the reference's learned PE (position_encoding.py:59-83) has a fixed
-        # channel count that cannot match any backbone level; it is dead in
-        # practice and not reproduced here
-        raise NotImplementedError(
+    if cfg.position_embedding not in ("sine", "v2", "learned", "v3"):
+        raise ValueError(
             f"position_embedding={cfg.position_embedding!r} not supported"
         )
     if "init_conv" in params:
@@ -235,6 +236,20 @@ def backbone_apply(
             params["body"], x, name, cfg.norm_layer_backbone,
             cfg.dilation, training, bn_updates,
         )
+    if cfg.position_embedding in ("learned", "v3"):
+        # note: the learned PE has a fixed 512-channel output that cannot
+        # match any backbone level's channels — like the reference, using
+        # it with add_posenc/attention PE fails at shape-check time; it is
+        # provided for API completeness (position_encoding.py:86-95)
+        from ..ops.posenc import learned_position_embedding_2d
+
+        pos = [
+            learned_position_embedding_2d(
+                params["pos_embed"], f.shape[1], f.shape[2]
+            )[None].astype(f.dtype)
+            for f in feats
+        ]
+        return feats, pos
     pos = [
         sine_position_embedding_2d(
             f.shape[1], f.shape[2], f.shape[3], only_y=cfg.one_dim_posenc

@@ -149,6 +149,11 @@ def key_map(cfg) -> Dict[str, Tuple[str, str]]:
                     conv(f"{tb}.downsample.0", f"{jb}/downsample/conv", bias=False)
                     bn(f"{tb}.downsample.1", f"{jb}/downsample/bn")
 
+    # ---- learned PE (Joiner index 1, position_encoding.py:59-83) ----
+    if cfg.position_embedding in ("learned", "v3"):
+        m["backbone.1.row_embed.weight"] = ("backbone/pos_embed/row_embed", "raw")
+        m["backbone.1.col_embed.weight"] = ("backbone/pos_embed/col_embed", "raw")
+
     # ---- attention pyramid ----
     n_layers = cfg.n_layers
     top_n = cfg.pyramid_top_n_attn

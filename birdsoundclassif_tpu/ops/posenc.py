@@ -70,3 +70,42 @@ def sine_position_embedding_2d(
     only_y: bool = True,
 ) -> jnp.ndarray:
     return jnp.asarray(_sine_pe_2d_np(h, w, num_pos_feats, temperature, normalize, only_y))
+
+
+# ---------------------------------------------------------------------------
+# learned absolute PE (reference: PositionEmbeddingLearned,
+# position_encoding.py:59-83 — DETR-style 50-slot row/col embedding tables)
+# ---------------------------------------------------------------------------
+
+
+def learned_pe_init(key, num_pos_feats: int = 256, num_embeddings: int = 50):
+    """{row_embed, col_embed}: (50, num_pos_feats) each, uniform [0, 1)
+    (reference reset_parameters: nn.init.uniform_)."""
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    return {
+        "row_embed": jax.random.uniform(k1, (num_embeddings, num_pos_feats)),
+        "col_embed": jax.random.uniform(k2, (num_embeddings, num_pos_feats)),
+    }
+
+
+def learned_position_embedding_2d(params, h: int, w: int) -> jnp.ndarray:
+    """(h, w, 2*num_pos_feats): col embedding broadcast over rows ++ row
+    embedding broadcast over cols (channel order matches the reference's
+    cat([x_emb, y_emb]) before its NCHW permute).
+
+    Caveat (documented deviation): the reference indexes nn.Embedding with
+    arange(h)/arange(w) and *crashes* for feature maps wider than 50 px;
+    JAX gathers clamp out-of-range indices instead, so levels beyond 50 px
+    repeat the last embedding row rather than erroring.
+    """
+    x_emb = jnp.take(params["col_embed"], jnp.arange(w), axis=0, mode="clip")
+    y_emb = jnp.take(params["row_embed"], jnp.arange(h), axis=0, mode="clip")
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(x_emb[None, :, :], (h, w, x_emb.shape[-1])),
+            jnp.broadcast_to(y_emb[:, None, :], (h, w, y_emb.shape[-1])),
+        ],
+        axis=-1,
+    )
