@@ -95,16 +95,26 @@ def greedy_nms_prefix(
     """keep (B, N) for boxes already sorted into greedy order with all valid
     entries first. On TPU this is a single Pallas kernel (the XLA
     fori-formulation measured ~500x slower on v5e); elsewhere a vmap'd
-    while_loop bounded by the per-batch valid count."""
-    if jax.default_backend() == "tpu":
+    while_loop bounded by the per-batch valid count.
+
+    The branch is selected by *lowering platform* (lax.platform_dependent),
+    not jax.default_backend(): a program jitted onto CPU devices (the
+    virtual multi-chip mesh) must take the XLA path even when the process
+    default backend is a TPU plugin."""
+
+    def _pallas(boxes, n_valid):
         from .pallas_nms import nms_in_order_pallas
 
         return nms_in_order_pallas(boxes, n_valid, iou_thresh)
-    n = boxes.shape[1]
-    valid = jnp.arange(n)[None, :] < n_valid[:, None]
-    return jax.vmap(
-        lambda b, v: greedy_nms_in_order(b, v, iou_thresh, valid_prefix=True)
-    )(boxes, valid)
+
+    def _xla(boxes, n_valid):
+        n = boxes.shape[1]
+        valid = jnp.arange(n)[None, :] < n_valid[:, None]
+        return jax.vmap(
+            lambda b, v: greedy_nms_in_order(b, v, iou_thresh, valid_prefix=True)
+        )(boxes, valid)
+
+    return jax.lax.platform_dependent(boxes, n_valid, tpu=_pallas, default=_xla)
 
 
 def greedy_nms_in_order(
