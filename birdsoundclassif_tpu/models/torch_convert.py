@@ -63,7 +63,9 @@ def _bn_pairs(prefix_t: str):
 
 def key_map(cfg) -> Dict[str, Tuple[str, str]]:
     """-> {torch_key: (jax_path, transform)} where transform in
-    {conv, lin, rcnn_reg_lin, rcnn_cls_lin, raw}."""
+    {conv, lin, rcnn_lin, mha_w, mha_b, raw}. The mha_* kinds map a packed
+    torch in_proj tensor onto *three* leaves under jax_path (q/k/v) rather
+    than a single flat key."""
     m: Dict[str, Tuple[str, str]] = {}
 
     def conv(tk, jk, bias=True):
@@ -243,12 +245,16 @@ def state_dict_to_params(
                 v = _rcnn_lin_t2j(v, c, ph, pw)
             elif kind == "mha_w":
                 # packed torch in_proj_weight (3d, d) -> q/k/v (d, d) each
-                d = v.shape[1]
+                d = cfg.tf_model_dim
+                if v.shape != (3 * d, d):
+                    raise ValueError(f"expected in_proj_weight ({3 * d}, {d})")
                 for n, chunk in zip(("q", "k", "v"), (v[:d], v[d : 2 * d], v[2 * d :])):
                     flat[f"{jk}/{n}/w"] = _lin_t2j(chunk)
                 continue
             elif kind == "mha_b":
-                d = v.shape[0] // 3
+                d = cfg.tf_model_dim
+                if v.shape != (3 * d,):
+                    raise ValueError(f"expected in_proj_bias ({3 * d},)")
                 for n, chunk in zip(("q", "k", "v"), (v[:d], v[d : 2 * d], v[2 * d :])):
                     flat[f"{jk}/{n}/b"] = np.ascontiguousarray(chunk)
                 continue

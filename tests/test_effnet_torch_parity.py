@@ -87,18 +87,7 @@ class FusedMBConv(tnn.Module):
         return x + out if self.use_res else out
 
 
-def _randomize_bn_stats(tree, rng):
-    """Give every BN non-trivial eval statistics in place."""
-    if isinstance(tree, dict):
-        if set(tree) >= {"scale", "bias", "mean", "var"}:
-            ch = tree["mean"].shape[0]
-            tree["mean"] = jnp.asarray(rng.normal(size=ch, scale=0.1), jnp.float32)
-            tree["var"] = jnp.asarray(1.0 + rng.uniform(size=ch), jnp.float32)
-            tree["scale"] = jnp.asarray(rng.normal(size=ch, loc=1.0, scale=0.1),
-                                        jnp.float32)
-        else:
-            for v in tree.values():
-                _randomize_bn_stats(v, rng)
+from torch_oracles import randomize_bn_stats as _randomize_bn_stats
 
 
 def test_efficientnet_b0_activation_parity(rng):

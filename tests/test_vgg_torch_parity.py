@@ -45,16 +45,10 @@ def _vgg_cfg() -> NbmConfig:
 
 def test_vgg16_bn_activation_parity(rng):
     cfg = _vgg_cfg()
-    body = vgg16_bn_init(jax.random.PRNGKey(0), )
-    # give BN non-trivial eval statistics
-    for k in list(body):
-        if k.startswith("bn"):
-            ch = body[k]["mean"].shape[0]
-            body[k]["mean"] = jnp.asarray(rng.normal(size=ch, scale=0.1), jnp.float32)
-            body[k]["var"] = jnp.asarray(1.0 + rng.uniform(size=ch), jnp.float32)
-            body[k]["scale"] = jnp.asarray(rng.normal(size=ch, loc=1.0, scale=0.1),
-                                           jnp.float32)
-            body[k]["bias"] = jnp.asarray(rng.normal(size=ch, scale=0.1), jnp.float32)
+    from torch_oracles import randomize_bn_stats
+
+    body = vgg16_bn_init(jax.random.PRNGKey(0))
+    randomize_bn_stats(body, rng)
     params = {"backbone": {"body": body}}
     sd = params_to_state_dict(params, cfg)
 

@@ -117,3 +117,22 @@ def sine_pe_2d_oracle(h: int, w: int, num_pos_feats: int, only_y: bool = True) -
     if only_y:
         return pos_y[0].numpy()
     return torch.cat((pos_y, pos_x), dim=3)[0].numpy()
+
+
+def randomize_bn_stats(tree, rng):
+    """Give every BN dict in a param subtree non-trivial eval statistics in
+    place (parity tests are meaningless with mean=0/var=1 identity BNs)."""
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        if set(tree) >= {"scale", "bias", "mean", "var"}:
+            ch = tree["mean"].shape[0]
+            tree["mean"] = jnp.asarray(rng.normal(size=ch, scale=0.1), jnp.float32)
+            tree["var"] = jnp.asarray(1.0 + rng.uniform(size=ch), jnp.float32)
+            tree["scale"] = jnp.asarray(
+                rng.normal(size=ch, loc=1.0, scale=0.1), jnp.float32
+            )
+            tree["bias"] = jnp.asarray(rng.normal(size=ch, scale=0.1), jnp.float32)
+        else:
+            for v in tree.values():
+                randomize_bn_stats(v, rng)
