@@ -33,7 +33,9 @@ def main():
     from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
 
     seconds = float(os.environ.get("BENCH_SECONDS", "600"))  # typical recording
-    n_files = int(os.environ.get("BENCH_FILES", "3"))
+    # enough files that the pipeline's cold start (first file's H2D transfer
+    # has nothing to overlap with) stops biasing the sustained rate
+    n_files = int(os.environ.get("BENCH_FILES", "8"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     cfg = NbmConfig()
