@@ -154,3 +154,17 @@ class TestRunDetectionVisualise:
         assert out is not None
         if any(len(v["scores"]) for v in out.values()):
             assert (tmp_path / "plots").exists()
+
+
+def test_console_script_entry_points_resolve():
+    """pyproject.toml console scripts must all import and be callable."""
+    import importlib
+    import tomllib
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert set(scripts) == {"nbm-detect", "nbm-sweep", "nbm-train", "xeno"}
+    for target in scripts.values():
+        mod_name, func = target.split(":")
+        fn = getattr(importlib.import_module(mod_name), func)
+        assert callable(fn)
