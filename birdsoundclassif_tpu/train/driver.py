@@ -14,7 +14,6 @@ import argparse
 import dataclasses
 import json
 import os
-import pickle
 from typing import Optional
 
 import jax
@@ -22,7 +21,12 @@ import numpy as np
 
 from ..config import NbmConfig
 from ..data.image_dataset import BatchLoader, ImgDataset
-from ..utils.checkpoint import load_params, save_params
+from ..utils.checkpoint import (
+    load_opt_state,
+    load_params,
+    save_opt_state,
+    save_params,
+)
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -82,8 +86,7 @@ def save_checkpoint(out_dir, label, state, epoch, best_val_cls_loss,
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     if full:
-        with open(os.path.join(ckpt_dir, "opt_state.pkl"), "wb") as f:
-            pickle.dump(jax.device_get(state.opt_state), f)
+        save_opt_state(os.path.join(ckpt_dir, "opt_state.npz"), state.opt_state)
         np.savez(os.path.join(ckpt_dir, "split.npz"),
                  train_indices=train_indices, val_indices=val_indices)
 
@@ -95,12 +98,16 @@ def load_checkpoint(out_dir, label, tx, cfg):
     params = load_params(ckpt_dir, cfg)
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         meta = json.load(f)
-    opt_path = os.path.join(ckpt_dir, "opt_state.pkl")
-    if os.path.exists(opt_path):
-        with open(opt_path, "rb") as f:
-            opt_state = pickle.load(f)
-    else:
-        opt_state = tx.init(params)
+    opt_path = os.path.join(ckpt_dir, "opt_state.npz")
+    if not os.path.exists(opt_path):
+        # a resumed run silently losing Adam moments is a correctness bug —
+        # fail loudly (reference resume restores the optimizer: train.py:190-202)
+        raise FileNotFoundError(
+            f"cannot resume from {ckpt_dir}: no opt_state.npz — this is a "
+            "weights-only checkpoint; load it with utils.checkpoint.load_params "
+            "for inference, or retrain"
+        )
+    opt_state = load_opt_state(opt_path, tx.init(params))
     split = None
     split_path = os.path.join(ckpt_dir, "split.npz")
     if os.path.exists(split_path):
@@ -164,7 +171,9 @@ def main(argv=None) -> int:
     while steps < cfg.max_steps:
         for batch in train_loader:
             neg = (steps % cfg.neg_step_freq == 0) and (steps > cfg.first_neg_step)
-            key, sub = jax.random.split(key)
+            # key stream is a pure function of the step index, so a resumed
+            # run draws the same per-step randomness as a continuous one
+            sub = jax.random.fold_in(key, steps)
             state, losses = train_step(state, batch, sub, negative_sample=neg)
             for k, v in losses.items():
                 if k in running:

@@ -70,6 +70,58 @@ def load_params(model_dir: str, cfg=None) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# optimizer state: versioned npz of the optax tree (replaces the round-1
+# pickle, which was fragile across optax upgrades). The tree STRUCTURE comes
+# from a freshly built `tx.init(params)` target; the file carries only the
+# leaves plus a format version, and every leaf is shape/dtype-checked on
+# load so a stale or mismatched file fails loudly instead of silently
+# resetting Adam moments (reference resume: train.py:190-202).
+# ---------------------------------------------------------------------------
+
+OPT_STATE_VERSION = 1
+
+
+def save_opt_state(path: str, opt_state: Any) -> str:
+    leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+    arrs = {f"leaf_{i:06d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    np.savez(path, opt_state_version=np.int64(OPT_STATE_VERSION), **arrs)
+    return path
+
+
+def load_opt_state(path: str, target: Any) -> Any:
+    """Restore optimizer state saved by save_opt_state.
+
+    `target` must be a structurally identical tree (i.e. ``tx.init(params)``
+    for the same optimizer and params). Raises ValueError on any version,
+    leaf-count, shape, or dtype mismatch.
+    """
+    t_leaves, treedef = jax.tree_util.tree_flatten(target)
+    with np.load(path) as z:
+        ver = int(z["opt_state_version"])
+        if ver != OPT_STATE_VERSION:
+            raise ValueError(
+                f"optimizer-state format version {ver} != supported {OPT_STATE_VERSION} ({path})"
+            )
+        keys = sorted(k for k in z.files if k.startswith("leaf_"))
+        if len(keys) != len(t_leaves):
+            raise ValueError(
+                f"optimizer-state leaf count {len(keys)} != expected {len(t_leaves)} "
+                f"({path}) — optimizer/config changed since this checkpoint was written"
+            )
+        leaves = []
+        for k, tgt in zip(keys, t_leaves):
+            arr = z[k]
+            t_arr = np.asarray(tgt)
+            if arr.shape != t_arr.shape or arr.dtype != t_arr.dtype:
+                raise ValueError(
+                    f"optimizer-state leaf {k}: saved {arr.dtype}{arr.shape} != "
+                    f"expected {t_arr.dtype}{t_arr.shape} ({path})"
+                )
+            leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
 # orbax backend (multi-host-safe, async-capable) — optional alternative to
 # the flat npz; used automatically when an `orbax/` subdir exists
 # ---------------------------------------------------------------------------

@@ -80,3 +80,122 @@ def test_driver_runs_and_resumes(dataset_dir, tmp_path):
     with open(mdir / "ckpt_last" / "meta.json") as f:
         meta = json.load(f)
     assert meta["steps"] == 4
+
+
+def _tiny_cfg():
+    from birdsoundclassif_tpu.config import NbmConfig
+
+    cfg = NbmConfig()
+    cfg.num_classes = 6
+    cfg.out_fpn_chan = 16
+    cfg.fpn_p_chan = 24
+    cfg.depth_rcnn = 1
+    cfg.img_height, cfg.img_width = 128, 256
+    cfg.pre_nms_topN = 256
+    cfg.post_nms_topN = 64
+    cfg.max_gt_boxes = 4
+    cfg.compute_dtype = "float32"
+    return cfg
+
+
+def _tiny_batch(cfg, key):
+    import jax
+    import jax.numpy as jnp
+
+    b, g = 2, cfg.max_gt_boxes
+    return {
+        "img": jax.random.uniform(key, (b, cfg.img_height, cfg.img_width)),
+        "neg_img": jax.random.uniform(key, (b, cfg.img_height, cfg.img_width)),
+        "gt_boxes": jnp.tile(
+            jnp.asarray([[30.0, 20.0, 120.0, 60.0]], jnp.float32), (b, g, 1)
+        ).reshape(b, g, 4),
+        "gt_valid": jnp.tile(jnp.asarray([True] + [False] * (g - 1)), (b, 1)),
+        "gt_labels": jnp.tile(jnp.asarray([3] + [0] * (g - 1), "int32"), (b, 1)),
+    }
+
+
+def test_kill_and_resume_bitwise_identical(tmp_path):
+    """Full checkpoint save/load round-trips the optimizer state exactly:
+    the next step from the restored state is bitwise-equal to the next step
+    from the live in-memory state (VERDICT r1: resume must not silently
+    lose Adam moments)."""
+    import jax
+    import numpy as np
+
+    from birdsoundclassif_tpu.train import driver
+    from birdsoundclassif_tpu.train.loop import create_train_state, make_train_step
+
+    cfg = _tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    state, tx = create_train_state(key, cfg)
+    train_step, _ = make_train_step(cfg, tx)
+    batch = _tiny_batch(cfg, key)
+
+    # two steps to populate Adam moments
+    for i in range(2):
+        state, _ = train_step(state, batch, jax.random.fold_in(key, i))
+
+    driver.save_checkpoint(str(tmp_path), "last", state, epoch=1,
+                           best_val_cls_loss=9.0,
+                           train_indices=np.arange(3), val_indices=np.arange(1),
+                           full=True)
+    restored, meta, split = driver.load_checkpoint(str(tmp_path), "last", tx, cfg)
+    assert meta["steps"] == 2 and split is not None
+
+    k3 = jax.random.fold_in(key, 2)
+    live_state, live_losses = train_step(state, batch, k3)
+    res_state, res_losses = train_step(restored, batch, k3)
+    for k in live_losses:
+        assert np.asarray(live_losses[k]).tobytes() == \
+            np.asarray(res_losses[k]).tobytes(), k
+    live_leaves = jax.tree_util.tree_leaves(live_state.params)
+    res_leaves = jax.tree_util.tree_leaves(res_state.params)
+    for a, b in zip(live_leaves, res_leaves):
+        assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
+
+
+def test_resume_without_opt_state_is_loud(tmp_path):
+    import os
+
+    import jax
+    import pytest
+
+    from birdsoundclassif_tpu.train import driver
+    from birdsoundclassif_tpu.train.loop import create_train_state
+
+    cfg = _tiny_cfg()
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    driver.save_checkpoint(str(tmp_path), "last", state, epoch=0,
+                           best_val_cls_loss=9.0)  # weights-only (full=False)
+    with pytest.raises(FileNotFoundError, match="opt_state"):
+        driver.load_checkpoint(str(tmp_path), "last", tx, cfg)
+    assert not os.path.exists(tmp_path / "ckpt_last" / "opt_state.npz")
+
+
+def test_opt_state_mismatch_is_loud(tmp_path):
+    import jax
+    import optax
+    import pytest
+
+    from birdsoundclassif_tpu.utils.checkpoint import load_opt_state, save_opt_state
+
+    params = {"w": jax.numpy.ones((3, 2)), "b": jax.numpy.zeros((2,))}
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    path = str(tmp_path / "opt_state.npz")
+    save_opt_state(path, opt_state)
+
+    # same structure restores
+    restored = load_opt_state(path, tx.init(params))
+    assert jax.tree_util.tree_structure(restored) == \
+        jax.tree_util.tree_structure(opt_state)
+
+    # different param shapes -> loud shape error
+    params2 = {"w": jax.numpy.ones((4, 2)), "b": jax.numpy.zeros((2,))}
+    with pytest.raises(ValueError, match="leaf"):
+        load_opt_state(path, tx.init(params2))
+
+    # different optimizer (fewer state leaves) -> loud leaf-count error
+    tx2 = optax.sgd(1e-3, momentum=0.9)
+    with pytest.raises(ValueError, match="leaf count"):
+        load_opt_state(path, tx2.init(params))
