@@ -57,25 +57,41 @@ def main():
     files = [make_file(i) for i in range(n_files)]
     frontend = SpectrogramFrontend(cfg.frontend)
 
-    # warm-up: compile every stage once
+    # Two operating points (VERDICT r1: bench the merge-NMS and host dict
+    # assembly hot, not at zero detection load):
+    #   idle   — min_score 0.2 (the CLI default): random weights emit ~no
+    #            boxes, so the data-dependent merge cost is ~0
+    #   loaded — min_score low enough that every window's full cascade slot
+    #            budget survives (O(10^2-10^3) boxes/file), so the
+    #            cross-window merge NMS and the per-class dict assembly are
+    #            measured under realistic detection density
+    loaded_min_score = float(os.environ.get("BENCH_LOADED_MIN_SCORE", "0.003"))
+
+    def sweep(min_score):
+        prefetcher = FilePrefetcher(frontend, sr)
+        t0 = time.perf_counter()
+        futs = [prefetcher.submit(files[0])]
+        n_det = 0
+        for i in range(n_files):
+            fe_res = futs[i].result()
+            if i + 1 < n_files:
+                futs.append(prefetcher.submit(files[i + 1]))
+            out = detect_from_frontend(params, cfg, fe_res, min_score, batch)
+            n_det += sum(len(v["scores"]) for v in out.values())
+        elapsed = time.perf_counter() - t0
+        prefetcher.close()
+        return elapsed, n_det
+
+    # warm-up: compile every stage at both operating points
     fe = frontend.process(files[0])
     detect_from_frontend(params, cfg, fe, 0.2, batch)
+    detect_from_frontend(params, cfg, fe, loaded_min_score, batch)
 
-    prefetcher = FilePrefetcher(frontend, sr)
-    t0 = time.perf_counter()
-    futs = [prefetcher.submit(files[0])]
-    n_det = 0
-    for i in range(n_files):
-        fe_res = futs[i].result()
-        if i + 1 < n_files:
-            futs.append(prefetcher.submit(files[i + 1]))
-        out = detect_from_frontend(params, cfg, fe_res, 0.2, batch)
-        n_det += sum(len(v["scores"]) for v in out.values())
-    elapsed = time.perf_counter() - t0
-    prefetcher.close()
+    idle_elapsed, idle_det = sweep(0.2)
+    loaded_elapsed, loaded_det = sweep(loaded_min_score)
 
     total_audio = seconds * n_files
-    audio_hours_per_sec = (total_audio / elapsed) / 3600.0
+    audio_hours_per_sec = (total_audio / loaded_elapsed) / 3600.0
     baseline = 50.0 / 3600.0  # 50x real-time
     print(
         json.dumps(
@@ -88,9 +104,16 @@ def main():
                     "audio_seconds_total": total_audio,
                     "files": n_files,
                     "batch": batch,
-                    "elapsed_sec": round(elapsed, 3),
-                    "realtime_factor": round(total_audio / elapsed, 1),
-                    "detections": n_det,
+                    "elapsed_sec": round(loaded_elapsed, 3),
+                    "realtime_factor": round(total_audio / loaded_elapsed, 1),
+                    "detections": loaded_det,
+                    "loaded_min_score": loaded_min_score,
+                    "idle": {
+                        "elapsed_sec": round(idle_elapsed, 3),
+                        "realtime_factor": round(total_audio / idle_elapsed, 1),
+                        "detections": idle_det,
+                        "min_score": 0.2,
+                    },
                     "device": str(jax.devices()[0]),
                 },
             }

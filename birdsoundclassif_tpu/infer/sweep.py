@@ -112,9 +112,19 @@ def main(argv=None) -> int:
     p.add_argument("--bird_dict", default=None)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() for multi-host pods")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address (host:port); omit on TPU pods "
+                        "where cluster discovery is automatic")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     a = p.parse_args(argv)
     if a.distributed:
-        jax.distributed.initialize()
+        kwargs = {}
+        if a.coordinator is not None:
+            kwargs = dict(coordinator_address=a.coordinator,
+                          num_processes=a.num_processes,
+                          process_id=a.process_id)
+        jax.distributed.initialize(**kwargs)
     from ..infer.pipeline import load_model
 
     params, cfg = load_model(a.ckpt)

@@ -72,12 +72,16 @@ class MetricsWriter:
 
 
 def save_checkpoint(out_dir, label, state, epoch, best_val_cls_loss,
-                    train_indices=None, val_indices=None, full=False):
+                    train_indices=None, val_indices=None, full=False,
+                    cfg=None):
     """reference save(): model (+ optimizer/scheduler/split when full)
-    (train.py:171-187)."""
+    (train.py:171-187). When cfg is given, `args` is written alongside so
+    the checkpoint dir is self-contained for the inference CLI."""
     ckpt_dir = os.path.join(out_dir, f"ckpt_{label}")
     os.makedirs(ckpt_dir, exist_ok=True)
     save_params(ckpt_dir, state.params)
+    if cfg is not None:
+        cfg.save(os.path.join(ckpt_dir, "args"))
     meta = {
         "steps": int(state.step),
         "epoch": int(epoch),
@@ -186,7 +190,7 @@ def main(argv=None) -> int:
             if steps in save_steps:
                 save_checkpoint(save_dir, str(steps), state, epoch,
                                 best_val_cls_loss, train_indices, val_indices,
-                                full=True)
+                                full=True, cfg=cfg)
             steps += 1
             if steps % 1000 == 0:
                 from .loop import make_lr_schedule
@@ -200,7 +204,8 @@ def main(argv=None) -> int:
                 if val_cls is not None and steps / 1000 > cfg.lr_drop and \
                         val_cls < best_val_cls_loss:
                     best_val_cls_loss = val_cls
-                    save_checkpoint(save_dir, "best", state, epoch, best_val_cls_loss)
+                    save_checkpoint(save_dir, "best", state, epoch,
+                                    best_val_cls_loss, cfg=cfg)
                 test_dir = os.path.join(cfg.data_path, "test_files", "XC_annots")
                 if os.path.isdir(test_dir):
                     from ..eval.ap import evaluate_test_dir
@@ -213,10 +218,10 @@ def main(argv=None) -> int:
                 break
         if epoch > 0 and epoch % 10 == 0:
             save_checkpoint(save_dir, "last", state, epoch, best_val_cls_loss,
-                            train_indices, val_indices, full=True)
+                            train_indices, val_indices, full=True, cfg=cfg)
         epoch += 1
     save_checkpoint(save_dir, "last", state, epoch, best_val_cls_loss,
-                    train_indices, val_indices, full=True)
+                    train_indices, val_indices, full=True, cfg=cfg)
     return 0
 
 
