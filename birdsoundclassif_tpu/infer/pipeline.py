@@ -129,14 +129,89 @@ def detect_spectrogram(
     return _concat_detections(outs, n)
 
 
+@partial(jax.jit, static_argnames=("cfg", "batch_size", "nms_thresh",
+                                   "min_score", "n_bucket"))
+def _file_program(params, spec_p, cols, n_real, spectrogram_length, cfg,
+                  batch_size, nms_thresh, min_score, n_bucket):
+    """One XLA program for a whole file: window gather -> detector (scanned
+    over fixed-size batches) -> cross-window merge. One dispatch and one
+    packed readback per file instead of one round trip per window batch
+    (round-1 bisection: ~29 ms dispatch+sync RTT each; reference hot loop:
+    run_detection.py:49-67)."""
+
+    def body(carry, cols_chunk):
+        wins = jnp.take(spec_p, cols_chunk, axis=1).transpose(1, 0, 2)
+        det = NbmModel.forward(params, wins[..., None], cfg, nms_thresh, min_score)
+        return carry, (det.boxes, det.scores, det.classes, det.valid)
+
+    n_chunks = n_bucket // batch_size
+    w = cols.shape[1]
+    _, (b, s, c, v) = jax.lax.scan(
+        body, 0, cols.reshape(n_chunks, batch_size, w)
+    )
+    r = s.shape[-1]
+    fe = cfg.frontend
+    return _merge_core(
+        b.reshape(n_bucket, r, 4), s.reshape(n_bucket, r),
+        c.reshape(n_bucket, r), v.reshape(n_bucket, r),
+        n_real, spectrogram_length,
+        fe.w_pix, fe.hop_spectro, cfg.num_classes, nms_thresh,
+        cfg.merge_nms_max_boxes,
+    )
+
+
+def detect_file_packed(
+    params,
+    cfg,
+    fe_res,
+    min_score: float,
+    bs: int,
+    nms_thresh: float = 0.3,
+):
+    """Dispatch the whole-file program; returns the packed (max_boxes, 7)
+    merge output ON DEVICE so callers can overlap the readback of file i
+    with the compute of file i+1. Columns are padded to a power-of-two
+    batch-count bucket so a directory sweep compiles O(log) programs."""
+    spec = fe_res.spec_padded
+    t = spec.shape[1]
+    t_pad = -(-t // _FRAME_BUCKET) * _FRAME_BUCKET
+    spec_p = jnp.pad(spec, ((0, 0), (0, t_pad - t))) if t_pad != t else spec
+    n = fe_res.n_windows
+    n_chunks = max(1, -(-n // bs))
+    n_chunks = 1 << (n_chunks - 1).bit_length()
+    n_bucket = n_chunks * bs
+    cols = np.zeros((n_bucket, fe_res.window_cols.shape[1]), np.int32)
+    cols[:n] = fe_res.window_cols
+    return _file_program(
+        params, spec_p, jnp.asarray(cols), jnp.int32(n),
+        jnp.float32(fe_res.total_frames), cfg, bs, nms_thresh, min_score,
+        n_bucket,
+    )
+
+
+def packed_to_class_dict(packed: np.ndarray, cfg) -> Dict[str, Dict[str, np.ndarray]]:
+    """Host-side: packed (N, 7) merge rows -> {class_id_str: {bbox_coord,
+    scores}} over classes 1..num_classes (reference output schema)."""
+    boxes = packed[:, :4]
+    scores = packed[:, 4]
+    classes = packed[:, 5].astype(np.int32)
+    keep = packed[:, 6] > 0.5
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for j in range(1, cfg.num_classes + 1):
+        m = keep & (classes == j)
+        out[str(j)] = {
+            "bbox_coord": boxes[m] if m.any() else np.zeros((0, 4), np.float32),
+            "scores": scores[m] if m.any() else np.zeros((0,), np.float32),
+        }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # cross-window merge (reference: merge_images, run_detection.py:163-249)
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("w_pix", "hop_spectro", "num_classes", "nms_thresh",
-                                   "max_boxes"))
-def _merge_on_device(
+def _merge_core(
     boxes, scores, classes, valid, n_real, spectrogram_length,
     w_pix: int, hop_spectro: int, num_classes: int, nms_thresh: float, max_boxes: int,
 ):
@@ -198,6 +273,10 @@ def _merge_on_device(
     )
 
 
+_merge_on_device = partial(jax.jit, static_argnames=(
+    "w_pix", "hop_spectro", "num_classes", "nms_thresh", "max_boxes"))(_merge_core)
+
+
 def merge_detections(
     det: Detections,
     spectrogram_length: int,
@@ -218,18 +297,7 @@ def merge_detections(
             cfg.merge_nms_max_boxes,
         )
     )
-    boxes = packed[:, :4]
-    scores = packed[:, 4]
-    classes = packed[:, 5].astype(np.int32)
-    keep = packed[:, 6] > 0.5
-    out: Dict[str, Dict[str, np.ndarray]] = {}
-    for j in range(1, cfg.num_classes + 1):
-        m = keep & (classes == j)
-        out[str(j)] = {
-            "bbox_coord": boxes[m] if m.any() else np.zeros((0, 4), np.float32),
-            "scores": scores[m] if m.any() else np.zeros((0,), np.float32),
-        }
-    return out
+    return packed_to_class_dict(packed, cfg)
 
 
 class FilePrefetcher:
@@ -287,7 +355,11 @@ def detect_from_frontend(
     fe_res,
     min_score: float,
     bs: int,
+    whole_file: bool = True,
 ) -> Dict[str, Dict[str, np.ndarray]]:
+    if whole_file:
+        packed = detect_file_packed(params, cfg, fe_res, min_score, bs)
+        return packed_to_class_dict(np.asarray(packed), cfg)
     det = detect_spectrogram(
         params, cfg, fe_res.spec_padded, fe_res.window_cols, bs, min_score
     )

@@ -37,7 +37,12 @@ def sweep(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..audio.frontend import SpectrogramFrontend
-    from ..infer.pipeline import FilePrefetcher, detect_from_frontend, load_bird_dict
+    from ..infer.pipeline import (
+        FilePrefetcher,
+        detect_file_packed,
+        load_bird_dict,
+        packed_to_class_dict,
+    )
     from ..parallel.mesh import make_mesh
 
     devices = jax.devices()
@@ -59,17 +64,9 @@ def sweep(
     total_audio_s = 0.0
     t0 = time.perf_counter()
     n_det = 0
-    # pipeline: file i+1's decode + transfer + STFT overlap file i's detector
-    prefetcher = FilePrefetcher(frontend, sr)
-    futs = [prefetcher.submit(f) for f in files[:1]]
-    for i, path in enumerate(files):
-        fe_res = futs[i].result()
-        if i + 1 < len(files):
-            futs.append(prefetcher.submit(files[i + 1]))
-        if fe_res is None:
-            continue
-        total_audio_s += fe_res.total_frames * dt
-        class_bbox = detect_from_frontend(params, cfg, fe_res, min_score, batch)
+    def emit(path, packed):
+        nonlocal n_det
+        class_bbox = packed_to_class_dict(np.asarray(packed), cfg)
         output = {}
         for idx in range(1, cfg.num_classes + 1):
             entry = class_bbox[str(idx)]
@@ -85,6 +82,26 @@ def sweep(
         # reference CLI behavior: one .txt per wav
         with open(path.replace(".wav", ".txt"), "w") as f:
             f.write(str(output))
+
+    # three-way overlap: next file's decode+H2D+STFT (prefetcher thread),
+    # this file's whole-file program (async dispatch), previous file's
+    # packed readback + host formatting (deferred one file)
+    prefetcher = FilePrefetcher(frontend, sr)
+    futs = [prefetcher.submit(f) for f in files[:1]]
+    pending = None
+    for i, path in enumerate(files):
+        fe_res = futs[i].result()
+        if i + 1 < len(files):
+            futs.append(prefetcher.submit(files[i + 1]))
+        if fe_res is None:
+            continue
+        total_audio_s += fe_res.total_frames * dt
+        packed = detect_file_packed(params, cfg, fe_res, min_score, batch)
+        if pending is not None:
+            emit(*pending)
+        pending = (path, packed)
+    if pending is not None:
+        emit(*pending)
     elapsed = time.perf_counter() - t0
     prefetcher.close()
     if writer:

@@ -57,6 +57,23 @@ def main(argv=None) -> int:
         counts = write_corpus(rec_dir, test_dir, rng)
         print(f"corpus: {counts}", flush=True)
         prepare_dataset(rec_dir, data_dir)
+    # a denser test set too: with only 4 GT boxes per species the reference
+    # AP protocol caps per-species AP at 0.4 (only 4 of the 10 recall bins
+    # are occupied; nets_utils.py:513-534), so the dense set (12 calls/file)
+    # makes the mAP ceiling 1.0
+    dense_dir = os.path.join(work, "test_dense")
+    if not os.path.isdir(dense_dir):
+        from birdsoundclassif_tpu.data.synthetic import SPECIES_BANK, synth_recording, \
+            write_annots, write_wav
+
+        rng_d = np.random.default_rng(11)
+        os.makedirs(dense_dir, exist_ok=True)
+        for i, sp in enumerate(SPECIES_BANK):
+            tag = sp[0].lower().replace(" ", "_")
+            sig, annots = synth_recording(sp, 30.0, 12, rng_d)
+            base = os.path.join(dense_dir, f"{tag}#XC{9000 + i}")
+            write_wav(base + ".wav", sig)
+            write_annots(base + ".txt", annots)
     etl_s = time.time() - t0
     n_pos = sum(
         len(files) for _, _, files in os.walk(os.path.join(data_dir, "positive_files"))
@@ -112,6 +129,9 @@ def main(argv=None) -> int:
     final = evaluate_test_dir(params, cfg2, test_dir, min_score=0.02,
                               bs=args.batch_size)
     print(f"final (from ckpt_last): {final}", flush=True)
+    final_dense = evaluate_test_dir(params, cfg2, dense_dir, min_score=0.02,
+                                    bs=args.batch_size)
+    print(f"final dense (12 calls/species/file): {final_dense}", flush=True)
 
     result = {
         "what": "end-to-end training fallback: synthetic 6-species corpus, "
@@ -124,6 +144,10 @@ def main(argv=None) -> int:
         "baseline_random_init": baseline,
         "trajectory": {str(k): v for k, v in sorted(by_step.items())},
         "final_from_checkpoint": final,
+        "final_dense_test": final_dense,
+        "note": "with 4 GT boxes/species the reference AP protocol caps "
+                "per-species AP at 0.4 (4 of 10 recall bins occupied); the "
+                "dense test set (12 calls/species) removes that ceiling",
         "train_wall_s": round(train_s, 1),
     }
     with open(args.out, "w") as f:

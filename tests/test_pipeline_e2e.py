@@ -256,3 +256,48 @@ class TestMergeCap:
         total = sum(len(out[str(j)]["scores"]) for j in ("1", "2"))
         assert total <= cfg.merge_nms_max_boxes
         assert total > 0
+
+
+class TestWholeFileProgram:
+    def test_matches_batched_path(self, small_model, rng):
+        """The single-program whole-file path (gather -> scanned detector ->
+        merge in one XLA program) must produce exactly the same per-class
+        output as the per-batch dispatch path."""
+        from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+        from birdsoundclassif_tpu.infer.pipeline import detect_from_frontend
+
+        params, cfg = small_model
+        sr = cfg.frontend.sample_rate
+        t = np.arange(int(sr * 9.5)) / sr  # ~3.3 windows -> padded bucket
+        sig = (0.3 * np.sin(2 * np.pi * 2500 * t) * (np.sin(2 * np.pi * 1.1 * t) > 0)
+               + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        fe_res = SpectrogramFrontend(cfg.frontend).process(sig)
+
+        a = detect_from_frontend(params, cfg, fe_res, 0.0, 2, whole_file=True)
+        b = detect_from_frontend(params, cfg, fe_res, 0.0, 2, whole_file=False)
+        assert a.keys() == b.keys()
+        n_total = 0
+        for k in a:
+            np.testing.assert_array_equal(a[k]["bbox_coord"], b[k]["bbox_coord"],
+                                          err_msg=f"class {k}")
+            np.testing.assert_array_equal(a[k]["scores"], b[k]["scores"])
+            n_total += len(a[k]["scores"])
+        assert n_total > 0  # min_score 0 must keep something
+
+    def test_packed_deferred_readback(self, small_model, rng):
+        from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+        from birdsoundclassif_tpu.infer.pipeline import (
+            detect_file_packed,
+            detect_from_frontend,
+            packed_to_class_dict,
+        )
+
+        params, cfg = small_model
+        sr = cfg.frontend.sample_rate
+        sig = (0.05 * rng.standard_normal(int(sr * 4))).astype(np.float32)
+        fe_res = SpectrogramFrontend(cfg.frontend).process(sig)
+        packed = detect_file_packed(params, cfg, fe_res, 0.0, 2)
+        out = packed_to_class_dict(np.asarray(packed), cfg)
+        want = detect_from_frontend(params, cfg, fe_res, 0.0, 2, whole_file=False)
+        for k in want:
+            np.testing.assert_array_equal(out[k]["bbox_coord"], want[k]["bbox_coord"])
