@@ -167,63 +167,6 @@ class TestImageOps:
         got = np.moveaxis(np.asarray(resize_bilinear_align_corners(x_nhwc, *out)), -1, 1)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
-    # every upsample transition reachable in the flagship + attention
-    # pyramids (H: out=2*in or 2*in-1; W: out=2*in) must take the
-    # gather-free 2-tap path and match the align-corners oracle exactly
-    @pytest.mark.parametrize(
-        "in_hw,out_hw",
-        [((12, 32), (24, 64)), ((24, 64), (47, 128)), ((47, 128), (94, 256)),
-         ((94, 256), (188, 512)), ((6, 16), (12, 32))],
-    )
-    def test_two_tap_fast_path_matches_oracle(self, rng, in_hw, out_hw):
-        from birdsoundclassif_tpu.ops.image import _two_tap_blend_coeffs
-
-        from birdsoundclassif_tpu.ops.image import (
-            _apply_separable, _bilinear_matrix_align_corners, _two_tap_blend_coeffs)
-
-        assert _two_tap_blend_coeffs(in_hw[0], out_hw[0]) is not None
-        assert _two_tap_blend_coeffs(in_hw[1], out_hw[1]) is not None
-        x = rng.normal(size=(2, 3) + in_hw).astype(np.float32)
-        x_nhwc = jnp.asarray(np.moveaxis(x, 1, -1))
-        got_nhwc = resize_bilinear_align_corners(x_nhwc, *out_hw)
-        got = np.moveaxis(np.asarray(got_nhwc), -1, 1)
-        # vs torch: loose — torch rounds the source-position scale to f32,
-        # an O(3e-5) weight perturbation at the far end of a 512-wide axis
-        want = oracle.bilinear_align_corners_oracle(x, *out_hw)
-        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
-        # vs the (previously golden-validated) matrix path: ~bitwise
-        mat = _apply_separable(
-            x_nhwc, _bilinear_matrix_align_corners(in_hw[0], out_hw[0]),
-            _bilinear_matrix_align_corners(in_hw[1], out_hw[1]))
-        np.testing.assert_allclose(np.asarray(got_nhwc), np.asarray(mat),
-                                   rtol=1e-6, atol=1e-6)
-
-    def test_two_tap_generic_ratio_falls_back(self):
-        from birdsoundclassif_tpu.ops.image import _two_tap_blend_coeffs
-
-        # >2x and irregular ratios violate the 3-offset support condition
-        assert _two_tap_blend_coeffs(8, 32) is None
-        assert _two_tap_blend_coeffs(17, 23) is None
-        assert _two_tap_blend_coeffs(16, 16) is None
-        # downsampling never qualifies
-        assert _two_tap_blend_coeffs(64, 24) is None
-
-    def test_two_tap_matches_matrix_path_bf16(self, rng):
-        # bf16 products must match the matmul formulation (dtype-rounded
-        # weights, f32 accumulation) so goldens don't shift
-        from birdsoundclassif_tpu.ops.image import (
-            _bilinear_matrix_align_corners, _apply_separable)
-
-        x = jnp.asarray(rng.normal(size=(2, 24, 64, 16)).astype(np.float32),
-                        jnp.bfloat16)
-        got = resize_bilinear_align_corners(x, 47, 128)
-        want = _apply_separable(
-            x, _bilinear_matrix_align_corners(24, 47),
-            _bilinear_matrix_align_corners(64, 128)).astype(jnp.bfloat16)
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(want, np.float32),
-                                   rtol=1e-2, atol=1e-2)
-
     @pytest.mark.parametrize("shape,out", [((2, 3, 188, 512), (24, 64)), ((1, 4, 5, 7), (2, 2)),
                                            ((1, 2, 23, 64), (23, 64))])
     def test_adaptive_avg_pool(self, rng, shape, out):
