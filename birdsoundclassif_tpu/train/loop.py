@@ -130,8 +130,12 @@ def make_train_step(cfg, tx):
         total = sum(losses[k] * wd[k] for k in losses if k in wd)
         return total, (losses, bn)
 
-    @partial(jax.jit, static_argnames=("negative_sample",))
+    @partial(jax.jit, static_argnames=("negative_sample",),
+             donate_argnums=(0,))
     def train_step(state: TrainState, batch, key, negative_sample: bool = False):
+        # state is donated: params/opt_state buffers (~0.9 GB at flagship
+        # scale) are updated in place instead of doubling HBM residency.
+        # Every call site rebinds `state, losses = train_step(state, ...)`.
         (total, (losses, bn)), grads = jax.value_and_grad(
             compute_losses, has_aux=True
         )(state.params, batch, key, negative_sample)
