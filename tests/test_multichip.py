@@ -139,6 +139,82 @@ def test_sharded_inference_forward_shards_flops(cpu_mesh_devices):
     assert np.isfinite(np.asarray(scores)).all()
 
 
+def test_tensor_parallel_train_step_matches_and_shards(cpu_mesh_devices):
+    """2-D (data=4, model=2) mesh: channel-sharded kernels + sharded batch.
+    Sharding is layout, not semantics — the TP step must reproduce the
+    single-device losses, insert model-axis collectives, run ~1/(dp*tp) of
+    the FLOPs per device, and actually halve the sharded kernel shards."""
+    from jax.sharding import PartitionSpec as P
+
+    from birdsoundclassif_tpu.parallel.tp import (
+        make_mesh_2d, shard_batch_2d, shard_tree, tree_partition_specs)
+    from birdsoundclassif_tpu.train.loop import create_train_state, make_train_step
+
+    cfg = _tiny_cfg()
+    cfg.out_fpn_chan = 64   # wide enough for channel sharding to engage
+    cfg.fpn_p_chan = 64
+    key = jax.random.PRNGKey(0)
+    state, tx = create_train_state(key, cfg)
+    train_step, _ = make_train_step(cfg, tx)
+    batch = _batch(cfg, b=8)
+
+    dev0 = cpu_mesh_devices[0]
+    single = train_step.lower(
+        jax.device_put(state, dev0), jax.device_put(batch, dev0), key,
+        negative_sample=False,
+    ).compile()
+    _, l_single = train_step(
+        jax.device_put(state, dev0), jax.device_put(batch, dev0), key,
+        negative_sample=False,
+    )
+    l_single = {k: float(v) for k, v in l_single.items()}
+
+    mesh = make_mesh_2d(cpu_mesh_devices, model_parallel=2)
+    min_ch = 32
+    state, _ = create_train_state(key, cfg)  # prior state was donated
+    specs = jax.tree_util.tree_leaves(
+        tree_partition_specs(state, mesh, min_channels=min_ch),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    n_sharded = sum(1 for s in specs if s != P())
+    assert n_sharded > 50, f"only {n_sharded} leaves sharded"
+
+    sharded_state = shard_tree(state, mesh, min_channels=min_ch)
+    sharded_batch = shard_batch_2d(batch, mesh)
+
+    # a sharded kernel's per-device shards carry half the channels
+    def _find(tree):
+        if isinstance(tree, dict):
+            for v in tree.values():
+                r = _find(v)
+                if r is not None:
+                    return r
+            return None
+        shp = tuple(getattr(tree, "shape", ()))
+        if len(shp) >= 2 and shp[-1] >= min_ch and shp[-1] % 2 == 0 \
+                and int(np.prod(shp)) >= 1 << 14:
+            return tree
+    kern = _find(sharded_state.params)
+    shard_shapes = {s.data.shape for s in kern.addressable_shards}
+    assert shard_shapes == {kern.shape[:-1] + (kern.shape[-1] // 2,)}, (
+        kern.shape, shard_shapes)
+
+    tp_exe = train_step.lower(
+        sharded_state, sharded_batch, key, negative_sample=False
+    ).compile()
+    hlo = tp_exe.as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+    assert "all-gather" in hlo, "no channel all-gather: GSPMD replicated TP"
+
+    f_tp, f_single = _flops(tp_exe), _flops(single)
+    assert f_tp < 0.25 * f_single, (f_tp, f_single)
+
+    _, l_tp = train_step(sharded_state, sharded_batch, key, negative_sample=False)
+    for k, v in l_single.items():
+        got = float(l_tp[k])
+        assert abs(got - v) <= 1e-4 * max(1.0, abs(v)), (k, got, v)
+
+
 def _write_wav(path, samples, sr=44100):
     x = (np.clip(samples, -1, 1) * 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
