@@ -130,17 +130,25 @@ def detect_spectrogram(
 
 
 @partial(jax.jit, static_argnames=("cfg", "batch_size", "nms_thresh",
-                                   "min_score", "n_bucket"))
+                                   "min_score", "n_bucket", "data_sharding"))
 def _file_program(params, spec_p, cols, n_real, spectrogram_length, cfg,
-                  batch_size, nms_thresh, min_score, n_bucket):
+                  batch_size, nms_thresh, min_score, n_bucket,
+                  data_sharding=None):
     """One XLA program for a whole file: window gather -> detector (scanned
     over fixed-size batches) -> cross-window merge. One dispatch and one
     packed readback per file instead of one round trip per window batch
     (round-1 bisection: ~29 ms dispatch+sync RTT each; reference hot loop:
-    run_detection.py:49-67)."""
+    run_detection.py:49-67).
+
+    data_sharding (a hashable NamedSharding over a 'data' mesh axis, or
+    None) shards each scanned window batch over the mesh so multi-chip
+    hosts split the detector FLOPs; GSPMD gathers the per-window outputs
+    back for the global merge."""
 
     def body(carry, cols_chunk):
         wins = jnp.take(spec_p, cols_chunk, axis=1).transpose(1, 0, 2)
+        if data_sharding is not None:
+            wins = jax.lax.with_sharding_constraint(wins, data_sharding)
         det = NbmModel.forward(params, wins[..., None], cfg, nms_thresh, min_score)
         return carry, (det.boxes, det.scores, det.classes, det.valid)
 
@@ -167,6 +175,7 @@ def detect_file_packed(
     min_score: float,
     bs: int,
     nms_thresh: float = 0.3,
+    data_sharding=None,
 ):
     """Dispatch the whole-file program; returns the packed (max_boxes, 7)
     merge output ON DEVICE so callers can overlap the readback of file i
@@ -185,7 +194,7 @@ def detect_file_packed(
     return _file_program(
         params, spec_p, jnp.asarray(cols), jnp.int32(n),
         jnp.float32(fe_res.total_frames), cfg, bs, nms_thresh, min_score,
-        n_bucket,
+        n_bucket, data_sharding=data_sharding,
     )
 
 

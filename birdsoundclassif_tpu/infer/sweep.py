@@ -47,10 +47,15 @@ def sweep(
 
     devices = jax.devices()
     n_dev = len(devices)
+    data_sharding = None
     if n_dev > 1:
+        # multiple local chips: params replicated, each scanned window batch
+        # sharded over the mesh (the constraint inside _file_program), so
+        # the detector FLOPs split n_dev ways with no host-side changes
         mesh = make_mesh(devices)
         params = jax.device_put(params, NamedSharding(mesh, P()))
         batch = -(-batch // n_dev) * n_dev  # divisible by the mesh
+        data_sharding = NamedSharding(mesh, P("data"))
     # multi-host: shard the file list by process
     files = sorted(glob.glob(os.path.join(audio_dir, "**", "*.wav"), recursive=True))
     files = files[jax.process_index()::jax.process_count()]
@@ -96,7 +101,8 @@ def sweep(
         if fe_res is None:
             continue
         total_audio_s += fe_res.total_frames * dt
-        packed = detect_file_packed(params, cfg, fe_res, min_score, batch)
+        packed = detect_file_packed(params, cfg, fe_res, min_score, batch,
+                                    data_sharding=data_sharding)
         if pending is not None:
             emit(*pending)
         pending = (path, packed)

@@ -215,6 +215,58 @@ def test_tensor_parallel_train_step_matches_and_shards(cpu_mesh_devices):
         assert abs(got - v) <= 1e-4 * max(1.0, abs(v)), (k, got, v)
 
 
+def test_whole_file_program_data_sharded(cpu_mesh_devices):
+    """sweep's multi-chip layout: the whole-file program with a window-batch
+    sharding constraint must split per-device FLOPs and reproduce the
+    unsharded packed merge output exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+    from birdsoundclassif_tpu.infer.pipeline import detect_file_packed, _file_program
+    from birdsoundclassif_tpu.models import NbmModel
+    from birdsoundclassif_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg()
+    cfg.img_height, cfg.img_width = 375, 1024  # frontend window geometry
+    params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    sr = cfg.frontend.sample_rate
+    samples = (0.1 * rng.standard_normal(sr * 30)).astype(np.float32)
+    fe_res = SpectrogramFrontend(cfg.frontend).process(samples)
+
+    want = np.asarray(detect_file_packed(params, cfg, fe_res, 0.0, 8))
+
+    mesh = make_mesh(cpu_mesh_devices)
+    p_repl = jax.device_put(params, NamedSharding(mesh, P()))
+    ds = NamedSharding(mesh, P("data"))
+    got = np.asarray(detect_file_packed(p_repl, cfg, fe_res, 0.0, 8,
+                                        data_sharding=ds))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # the constraint must actually split the detector FLOPs per device
+    from birdsoundclassif_tpu.infer.pipeline import _FRAME_BUCKET
+
+    spec = fe_res.spec_padded
+    t = spec.shape[1]
+    t_pad = -(-t // _FRAME_BUCKET) * _FRAME_BUCKET
+    spec_p = jnp.pad(spec, ((0, 0), (0, t_pad - t))) if t_pad != t else spec
+    bs, n = 8, fe_res.n_windows
+    n_chunks = 1 << (max(1, -(-n // bs)) - 1).bit_length()
+    cols = np.zeros((n_chunks * bs, fe_res.window_cols.shape[1]), np.int32)
+    cols[:n] = fe_res.window_cols
+
+    def lower(p, sharding):
+        return _file_program.lower(
+            p, spec_p, jnp.asarray(cols), jnp.int32(n),
+            jnp.float32(fe_res.total_frames), cfg, bs, 0.3, 0.0,
+            n_chunks * bs, data_sharding=sharding,
+        ).compile()
+
+    f_sharded = _flops(lower(p_repl, ds))
+    f_single = _flops(lower(params, None))
+    assert f_sharded < 0.3 * f_single, (f_sharded, f_single)
+
+
 def _write_wav(path, samples, sr=44100):
     x = (np.clip(samples, -1, 1) * 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
