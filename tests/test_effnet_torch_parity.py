@@ -187,6 +187,65 @@ def test_fused_mbconv_expand1_single_conv_parity(rng):
     _unit_fused_parity(rng, 24, 24, 1, 3, 1)
 
 
+def test_efficientnet_v2_s_activation_parity(rng):
+    """Full efficientnet_v2_s pyramid (5 taps incl. the 1280-ch head conv)
+    vs a torch reconstruction of torchvision's FusedMBConv/MBConv stages,
+    loaded through the converter's state-dict layout (reference tap indices
+    [1,2,3,5,7], backbone.py:87-100)."""
+    cfg = NbmConfig()
+    cfg.backbone = "efficientnet_v2_s"
+    cfg.compute_dtype = "float32"
+    cfg.set_derived()
+    body = efficientnet_init(jax.random.PRNGKey(2), "efficientnet_v2_s")
+    _randomize_bn_stats(body, rng)
+    params = {"backbone": {"body": body}}
+    sd = params_to_state_dict(params, cfg)
+
+    from birdsoundclassif_tpu.models.backbones_extra import _EFFNET_V2_STAGES
+
+    stem = _cna(3, 24, 3, 2)
+    stages = []
+    in_ch = 24
+    for block, expand, k, stride, out_ch, repeats in \
+            _EFFNET_V2_STAGES["efficientnet_v2_s"]:
+        mod = FusedMBConv if block == "fused" else MBConv
+        blocks = []
+        for bi in range(repeats):
+            blocks.append(mod(in_ch, out_ch, expand, k, stride if bi == 0 else 1))
+            in_ch = out_ch
+        stages.append(tnn.Sequential(*blocks))
+    head = _cna(in_ch, 1280, 1, 1)
+    features = tnn.Sequential(stem, *stages, head)
+
+    mapped = {}
+    for key, v in sd.items():
+        if key.startswith("backbone.0.body."):
+            mapped[key[len("backbone.0.body."):]] = torch.tensor(v)
+    missing, unexpected = features.load_state_dict(mapped, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in m for m in missing), missing
+
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    features.eval()
+    want = []
+    with torch.no_grad():
+        out = torch.tensor(x)
+        for i, layer in enumerate(features):
+            out = layer(out)
+            if i in (1, 2, 3, 5, 7):  # reference taps for v2_s
+                want.append(out.numpy())
+    assert len(want) == 5
+
+    got = efficientnet_pyramid(params["backbone"]["body"],
+                               jnp.asarray(np.moveaxis(x, 1, -1)),
+                               "efficientnet_v2_s", training=False)
+    assert len(got) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(g), -1, 1), w, rtol=1e-3, atol=1e-4
+        )
+
+
 def test_effnet_v2_converter_roundtrip():
     cfg = NbmConfig()
     cfg.backbone = "efficientnet_v2_s"
