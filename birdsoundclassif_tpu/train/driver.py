@@ -123,7 +123,17 @@ def load_checkpoint(out_dir, label, tx, cfg):
 
 
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    # mesh flags are runtime topology, not model config: kept out of
+    # NbmConfig so checkpoints stay layout-independent
+    parser.add_argument(
+        "--data_parallel", type=int, default=1,
+        help="data-axis size of the device mesh (1 = single device)")
+    parser.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="model-axis size: channel-shards the big kernels + optimizer "
+             "moments over this many devices (parallel/tp.py)")
+    args = parser.parse_args(argv)
     cfg = NbmConfig(**{f.name: getattr(args, f.name)
                        for f in dataclasses.fields(NbmConfig)})
 
@@ -156,6 +166,25 @@ def main(argv=None) -> int:
             len(dataset), cfg.validation_prop, rng
         )
 
+    mesh = None
+    n_mesh = args.data_parallel * args.model_parallel
+    if n_mesh > 1:
+        from ..parallel.tp import make_mesh_2d, shard_tree
+
+        devices = jax.devices()
+        if len(devices) < n_mesh:
+            raise SystemExit(
+                f"mesh needs {n_mesh} devices "
+                f"({args.data_parallel} data x {args.model_parallel} model), "
+                f"have {len(devices)}")
+        if cfg.batch_size % args.data_parallel:
+            raise SystemExit(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"data_parallel {args.data_parallel}")
+        mesh = make_mesh_2d(devices[:n_mesh], args.model_parallel)
+        state = shard_tree(state, mesh)
+        print(f"mesh: {args.data_parallel} data x {args.model_parallel} model")
+
     train_loader = BatchLoader(dataset, train_indices, cfg.batch_size,
                                cfg.max_gt_boxes, rng)
     val_loader = (
@@ -174,6 +203,10 @@ def main(argv=None) -> int:
     print("Start training")
     while steps < cfg.max_steps:
         for batch in train_loader:
+            if mesh is not None:
+                from ..parallel.tp import shard_batch_2d
+
+                batch = shard_batch_2d(batch, mesh)
             neg = (steps % cfg.neg_step_freq == 0) and (steps > cfg.first_neg_step)
             # key stream is a pure function of the step index, so a resumed
             # run draws the same per-step randomness as a continuous one
@@ -199,7 +232,8 @@ def main(argv=None) -> int:
                     "Lr", float(make_lr_schedule(cfg.lr, cfg.lr_drop)(steps)), steps
                 )
             if steps % 500 == 0:
-                _validate(cfg, state, eval_step, val_loader, writer, steps, key)
+                _validate(cfg, state, eval_step, val_loader, writer, steps, key,
+                          mesh=mesh)
                 val_cls = _last_val_cls_loss
                 if val_cls is not None and steps / 1000 > cfg.lr_drop and \
                         val_cls < best_val_cls_loss:
@@ -228,11 +262,17 @@ def main(argv=None) -> int:
 _last_val_cls_loss: Optional[float] = None
 
 
-def _validate(cfg, state, eval_step, val_loader, writer, steps, key):
+def _validate(cfg, state, eval_step, val_loader, writer, steps, key, mesh=None):
     global _last_val_cls_loss
     if val_loader is None:
         _last_val_cls_loss = None
         return
+    if mesh is not None:
+        from ..parallel.tp import shard_batch_2d
+
+        _shard = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
+    else:
+        _shard = lambda b: b  # noqa: E731
     loss_keys = ["first_class_loss", "first_regression_loss", "sec_class_loss",
                  "sec_regression_loss", "first_neg_class_loss",
                  "sec_neg_class_loss", "cardinality_error"]
@@ -240,6 +280,7 @@ def _validate(cfg, state, eval_step, val_loader, writer, steps, key):
     n = 0
     last_batch = None
     for batch in val_loader:
+        batch = _shard(batch)
         key, sub = jax.random.split(key)
         ld = eval_step(state.params, batch, sub, negative_sample=False)
         for k, v in ld.items():

@@ -82,6 +82,28 @@ def test_driver_runs_and_resumes(dataset_dir, tmp_path):
     assert meta["steps"] == 4
 
 
+def test_driver_mesh_flags(dataset_dir, tmp_path):
+    """--data_parallel/--model_parallel build a 2-D mesh inside main():
+    state is channel-sharded, batches land P('data'), training + checkpoint
+    save run unchanged (reference has only dead DP, misc.py:363-429)."""
+    import jax
+
+    from birdsoundclassif_tpu.train import driver
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    save_root = tmp_path / "models"
+    flags = _flags(dataset_dir, save_root, max_steps=2) + [
+        "--model_name", "meshtest", "--model_parallel", "2",
+    ]
+    rc = driver.main(flags)
+    assert rc == 0
+    mdir = save_root / "meshtest"
+    with open(mdir / "ckpt_last" / "meta.json") as f:
+        assert json.load(f)["steps"] == 2
+    assert (mdir / "ckpt_last" / "opt_state.npz").exists()
+
+
 def _tiny_cfg():
     from birdsoundclassif_tpu.config import NbmConfig
 
