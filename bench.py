@@ -41,7 +41,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     cfg = NbmConfig()
-    params = fold_frozen_bn(NbmModel.init(jax.random.PRNGKey(0), cfg), cfg)
+    # jitted init: one compiled program instead of hundreds of eager
+    # dispatches (each costs a full link RTT through the axon tunnel)
+    params = jax.jit(
+        lambda key: fold_frozen_bn(NbmModel.init(key, cfg), cfg)
+    )(jax.random.PRNGKey(0))
 
     sr = cfg.frontend.sample_rate
     rng = np.random.default_rng(0)

@@ -230,11 +230,14 @@ class SpectrogramFrontend:
     """
 
     def __init__(self, cfg: FrontendConfig | None = None, block_frames: int = 16384,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, wire_codec: bool = True):
         self.cfg = cfg or FrontendConfig()
         # the Pallas fused kernel prefers smaller frame blocks (VMEM-bound)
         self.use_pallas = use_pallas
         self.block_frames = 256 if use_pallas else block_frames
+        # lossless k-bit delta packing of int16 PCM for the host->device
+        # link (audio/wirecodec.py); applies to single-STFT-chunk files
+        self.wire_codec = wire_codec
 
     def _chunk_spans(self, n_samples: int) -> List[Tuple[int, int]]:
         """reference STFT chunking: range(int(len/5e7) + 1) slices
@@ -247,25 +250,42 @@ class SpectrogramFrontend:
                 spans.append((s, e))
         return spans
 
-    def process(self, samples: np.ndarray, empty_width: Optional[int] = None) -> FrontendResult:
-        """Full front-end for one file's PCM samples (44.1 kHz mono f32).
+    def process(self, samples, empty_width: Optional[int] = None) -> FrontendResult:
+        """Full front-end for one file's PCM samples (44.1 kHz mono, int16 /
+        f32 array or a pre-encoded wirecodec.PackedAudio).
 
-        One host->device transfer (the samples), one dispatch per 5e7-sample
-        chunk, one normalize dispatch; no host syncs.
+        One host->device transfer (the samples — delta-bit-packed for int16
+        single-chunk files when wire_codec is on), one dispatch per
+        5e7-sample chunk, one normalize dispatch; no host syncs.
         """
+        from .wirecodec import PackedAudio, encode
+
         cfg = self.cfg
         hop, n_fft = cfg.hop_length, cfg.win_length
         pad = n_fft // 2
         bf = self.block_frames
-        samples = np.asarray(samples)
-        if samples.size == 0:
-            raise ValueError("empty audio: nothing to process")
-        if samples.dtype == np.int16:
-            inv_scale = 1.0 / 32768.0   # transfer int16, dequantize on device
+        packed: Optional[PackedAudio] = None
+        if isinstance(samples, PackedAudio):
+            packed = samples
+            n_samples = packed.n_samples
+            if n_samples == 0:
+                raise ValueError("empty audio: nothing to process")
+            if n_samples > cfg.stft_chunk_samples:
+                raise ValueError("packed input must fit one STFT chunk")
+            inv_scale = 1.0 / 32768.0
         else:
-            samples = samples.astype(np.float32, copy=False)
-            inv_scale = 1.0
-        spans = self._chunk_spans(len(samples))
+            samples = np.asarray(samples)
+            if samples.size == 0:
+                raise ValueError("empty audio: nothing to process")
+            n_samples = samples.size
+            if samples.dtype == np.int16:
+                inv_scale = 1.0 / 32768.0  # dequantize on device (librosa PCM16)
+                if self.wire_codec and n_samples <= cfg.stft_chunk_samples:
+                    packed = encode(samples)
+            else:
+                samples = samples.astype(np.float32, copy=False)
+                inv_scale = 1.0
+        spans = self._chunk_spans(n_samples)
         frames_per_chunk = [1 + (e - s) // hop for (s, e) in spans]
         total = int(sum(frames_per_chunk))
         # block writes of chunk c span [offset_c, offset_c + n_blocks_c*bf);
@@ -287,12 +307,32 @@ class SpectrogramFrontend:
             n_blocks = -(-n_frames // bf)
             l_bucket = n_blocks * bf * hop
             # centered zero padding (librosa center=True, pad_mode='constant')
-            # + trailing bucket pad, built on host so every transferred shape
-            # is bucketed (bounds compilations across a sweep); total padded
-            # length l_bucket + 2*pad covers every strided segment slice
-            padded_np = np.zeros((l_bucket + 2 * pad,), samples.dtype)
-            padded_np[pad:pad + (e - s)] = samples[s:e]
-            padded = jnp.asarray(padded_np)
+            # + trailing bucket pad; total padded length l_bucket + 2*pad
+            # covers every strided segment slice
+            if packed is not None:
+                # packed wire path: only the k-bit payload crosses the link
+                # (column-bucketed to bound compiles); the zero padding is
+                # materialized on device by the decode program
+                from .wirecodec import decode_to_padded
+
+                gran = 8192
+                ng = packed.payload.shape[1]
+                ng_b = -(-ng // gran) * gran
+                payload = packed.payload
+                if ng_b != ng:
+                    payload = np.zeros((payload.shape[0], ng_b), np.uint8)
+                    payload[:, :ng] = packed.payload
+                padded = decode_to_padded(
+                    payload, packed.outlier_pos, packed.outlier_res,
+                    jnp.int32(packed.n_samples), packed.k,
+                    l_bucket + 2 * pad, pad,
+                )
+            else:
+                # built on host so every transferred shape is bucketed
+                # (bounds compilations across a sweep)
+                padded_np = np.zeros((l_bucket + 2 * pad,), samples.dtype)
+                padded_np[pad:pad + (e - s)] = samples[s:e]
+                padded = jnp.asarray(padded_np)
             if self.use_pallas:
                 from .pallas_stft import stft_db_pallas
 

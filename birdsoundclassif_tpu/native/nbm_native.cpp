@@ -239,4 +239,89 @@ void nbm_nms_in_order(const float* boxes, const uint8_t* valid, int64_t n,
   }
 }
 
+// ---------------------------------------------------------------------------
+// PCM wire codec encoder (matches audio/wirecodec.py encode())
+// ---------------------------------------------------------------------------
+//
+// k-bit two's-complement first-difference packing with a clamped-outlier
+// side table; k = 16 stores deltas wrapped mod 2^16 (no outliers). The
+// numpy encoder is the reference semantics; this is the fast path for the
+// inference prefetch thread (one pass vs several 100 MB numpy temporaries).
+
+// Smallest k in {8, 10, 12, 13, 14} whose range holds all but
+// <= outlier_cap deltas, else 16. Also returns that k's outlier count.
+void nbm_wire_analyze(const int16_t* x, int64_t n, int64_t outlier_cap,
+                      int32_t* k_out, int64_t* n_outliers_out) {
+  static const int kCand[5] = {8, 10, 12, 13, 14};
+  int64_t exceed[5] = {0, 0, 0, 0, 0};
+  int32_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t d = static_cast<int32_t>(x[i]) - prev;
+    prev = x[i];
+    const int32_t mag = d < 0 ? -d : d;
+    // a delta that fits width kCand[c] fits every larger width, so count
+    // upward from the narrowest and stop at the first fit
+    for (int c = 0; c < 5; ++c) {
+      if (mag > (1 << (kCand[c] - 1)) - 1) ++exceed[c];
+      else break;
+    }
+  }
+  for (int c = 0; c < 5; ++c) {
+    if (exceed[c] <= outlier_cap) {
+      *k_out = kCand[c];
+      *n_outliers_out = exceed[c];
+      return;
+    }
+  }
+  *k_out = 16;
+  *n_outliers_out = 0;
+}
+
+// Pack into plane-major payload (bpg rows x n_groups cols, row-major) +
+// outlier table. Returns the outlier count, or -1 if it exceeds cap.
+int64_t nbm_wire_pack(const int16_t* x, int64_t n, int32_t k,
+                      uint8_t* payload, int64_t n_groups,
+                      int32_t* opos, int32_t* ores, int64_t cap) {
+  int a = k, b = 8;
+  while (b) { const int t = a % b; a = b; b = t; }
+  const int g = 8 / a;  // samples per group: g * k is a whole byte count
+  const int bpg = g * k / 8;
+  const int32_t lo = -(1 << (k - 1)), hi = (1 << (k - 1)) - 1;
+  const uint32_t mask = (1u << k) - 1u;
+  int64_t n_out = 0;
+  int32_t prev = 0;
+  int64_t s = 0;
+  for (int64_t q = 0; q < n_groups; ++q) {
+    uint8_t gb[18] = {0};  // bpg <= 13; +2 slack for the 3-byte bit spill
+    for (int j = 0; j < g; ++j, ++s) {
+      uint32_t u = 0;
+      if (s < n) {
+        const int32_t d = static_cast<int32_t>(x[s]) - prev;
+        prev = x[s];
+        int32_t stored;
+        if (k == 16) {
+          stored = ((d + (1 << 15)) & 0xFFFF) - (1 << 15);
+        } else {
+          stored = d < lo ? lo : (d > hi ? hi : d);
+          if (stored != d) {
+            if (n_out >= cap) return -1;
+            opos[n_out] = static_cast<int32_t>(s);
+            ores[n_out] = d - stored;
+            ++n_out;
+          }
+        }
+        u = static_cast<uint32_t>(stored) & mask;
+      }
+      const int bit = j * k;
+      const uint32_t v = u << (bit & 7);
+      const int byte = bit >> 3;
+      gb[byte] |= static_cast<uint8_t>(v & 0xFF);
+      gb[byte + 1] |= static_cast<uint8_t>((v >> 8) & 0xFF);
+      gb[byte + 2] |= static_cast<uint8_t>((v >> 16) & 0xFF);
+    }
+    for (int i = 0; i < bpg; ++i) payload[i * n_groups + q] = gb[i];
+  }
+  return n_out;
+}
+
 }  // extern "C"

@@ -41,6 +41,19 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
     ]
+    # wire-codec entry points (absent in libraries built before they existed)
+    if hasattr(lib, "nbm_wire_analyze"):
+        lib.nbm_wire_analyze.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.nbm_wire_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.nbm_wire_pack.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -85,6 +98,52 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> Optional[np.ndarray]:
     finally:
         lib.nbm_free(out)
     return arr
+
+
+def wire_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "nbm_wire_analyze")
+
+
+def wire_analyze(x: np.ndarray, outlier_cap: int) -> Optional[Tuple[int, int]]:
+    """(k, n_outliers) for the PCM wire codec, or None without the lib."""
+    if not wire_available():
+        return None
+    lib = _load()
+    x = np.ascontiguousarray(x, np.int16)
+    k = ctypes.c_int32()
+    n_out = ctypes.c_int64()
+    lib.nbm_wire_analyze(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), x.size,
+        outlier_cap, ctypes.byref(k), ctypes.byref(n_out),
+    )
+    return int(k.value), int(n_out.value)
+
+
+def wire_pack(
+    x: np.ndarray, k: int, outlier_cap: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """(plane-major payload, outlier_pos, outlier_res, n_outliers) or None
+    (no lib, or the forced k overflows the outlier table)."""
+    if not wire_available():
+        return None
+    lib = _load()
+    x = np.ascontiguousarray(x, np.int16)
+    g = 8 // int(np.gcd(k, 8))
+    n_groups = -(-max(x.size, 1) // g)
+    payload = np.zeros((g * k // 8, n_groups), np.uint8)
+    opos = np.zeros(outlier_cap, np.int32)
+    ores = np.zeros(outlier_cap, np.int32)
+    n_out = lib.nbm_wire_pack(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), x.size, k,
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_groups,
+        opos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        outlier_cap,
+    )
+    if n_out < 0:
+        return None
+    return payload, opos, ores, int(n_out)
 
 
 def nms_in_order(boxes: np.ndarray, valid: np.ndarray, iou_thresh: float
