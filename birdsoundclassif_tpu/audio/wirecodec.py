@@ -219,23 +219,31 @@ def decode_to_padded(
 
 
 def _blocked_cumsum(d: jnp.ndarray) -> jnp.ndarray:
-    """Prefix sum, exact mod 2^32, via a lower-triangular f32 matmul per block.
+    """Prefix sum, exact mod 2^32, via lower-triangular matmuls per block.
 
-    Stored deltas are bounded by 2^15, so within-block partial sums are
-    bounded by _BLOCK * 2^15 = 2^24 — exactly representable in f32. The
-    row-offset accumulation may wrap int32 on long wrapped-delta (k=16)
-    streams; that is fine because the decoder only needs the result mod
-    2^16 (final int16 cast) and two's-complement wrap preserves it.
+    TPU matmuls may run with bf16 operand mantissas (XLA default
+    precision), so the deltas — up to 17 bits after outlier restore — are
+    split into byte-sized hi/lo planes first: every operand is an integer
+    < 2^9 (exact in bf16), every partial f32 accumulation is bounded by
+    _BLOCK * 2^8 < 2^24 (exact in f32), for ANY subset accumulation order
+    and ANY matmul precision mode. The two plane prefix sums are then
+    recombined in int32. The row-offset accumulation may wrap int32 on
+    long wrapped-delta (k=16) streams; fine, because the decoder only
+    needs the result mod 2^16 (final int16 cast).
     """
     n = d.shape[0]
     n_pad = -(-n // _BLOCK) * _BLOCK
     dp = jnp.pad(d, (0, n_pad - n)) if n_pad != n else d
-    rows = dp.reshape(n_pad // _BLOCK, _BLOCK).astype(jnp.float32)
-    tri = jnp.tril(jnp.ones((_BLOCK, _BLOCK), jnp.float32))
-    within = rows @ tri.T                      # (m, B) row-wise prefix sums
-    row_tot = within[:, -1].astype(jnp.int32)
+    hi = dp >> 8                               # floor division: lo in [0, 256)
+    lo = dp - (hi << 8)
+    rows_hi = hi.reshape(n_pad // _BLOCK, _BLOCK).astype(jnp.float32)
+    rows_lo = lo.reshape(n_pad // _BLOCK, _BLOCK).astype(jnp.float32)
+    tri_t = jnp.triu(jnp.ones((_BLOCK, _BLOCK), jnp.float32))
+    within = (rows_hi @ tri_t).astype(jnp.int32) * 256 + \
+        (rows_lo @ tri_t).astype(jnp.int32)    # (m, B) row-wise prefix sums
+    row_tot = within[:, -1]
     offsets = jnp.cumsum(row_tot) - row_tot    # exclusive prefix of row totals
-    out = within.astype(jnp.int32) + offsets[:, None]
+    out = within + offsets[:, None]
     return out.reshape(n_pad)[:n]
 
 

@@ -71,6 +71,24 @@ def test_roundtrip_forced_bits(k):
     np.testing.assert_array_equal(_decode_np(pa), x)
 
 
+def test_clustered_outlier_block_exact():
+    """A block dense with full-range deltas stresses the prefix-sum's
+    exactness bound (on TPU the matmul runs with bf16 operand mantissas;
+    the hi/lo plane split must keep every accumulation exact)."""
+    rng = np.random.default_rng(3)
+    n = 8192
+    x = np.zeros(n, np.int16)
+    x[1000:1512:2] = 32767          # alternating full-range jumps,
+    x[1001:1513:2] = -32768         # all inside one 512-sample block
+    x[4000:] = (200 * rng.standard_normal(n - 4000)).astype(np.int16)
+    pa = encode(x, k=10)            # forces those jumps into the table
+    dec = np.asarray(
+        decode_to_padded(pa.payload, pa.outlier_pos, pa.outlier_res,
+                         np.int32(pa.n_samples), pa.k, n + 64, 0)
+    )[:n]
+    np.testing.assert_array_equal(dec, x)
+
+
 def test_choose_bits_and_wire_size():
     sig = _signals()
     assert choose_bits(np.diff(sig["quiet"].astype(np.int32), prepend=0)) <= 12
