@@ -265,6 +265,7 @@ class SpectrogramFrontend:
         pad = n_fft // 2
         bf = self.block_frames
         packed: Optional[PackedAudio] = None
+        use_codec = False
         if isinstance(samples, PackedAudio):
             packed = samples
             n_samples = packed.n_samples
@@ -280,8 +281,9 @@ class SpectrogramFrontend:
             n_samples = samples.size
             if samples.dtype == np.int16:
                 inv_scale = 1.0 / 32768.0  # dequantize on device (librosa PCM16)
-                if self.wire_codec and n_samples <= cfg.stft_chunk_samples:
-                    packed = encode(samples)
+                # long files are packed one STFT chunk at a time below
+                # (each chunk's delta stream is self-contained)
+                use_codec = self.wire_codec
             else:
                 samples = samples.astype(np.float32, copy=False)
                 inv_scale = 1.0
@@ -309,22 +311,23 @@ class SpectrogramFrontend:
             # centered zero padding (librosa center=True, pad_mode='constant')
             # + trailing bucket pad; total padded length l_bucket + 2*pad
             # covers every strided segment slice
-            if packed is not None:
+            if packed is not None or use_codec:
                 # packed wire path: only the k-bit payload crosses the link
                 # (column-bucketed to bound compiles); the zero padding is
                 # materialized on device by the decode program
                 from .wirecodec import decode_to_padded
 
+                pa = packed if packed is not None else encode(samples[s:e])
                 gran = 8192
-                ng = packed.payload.shape[1]
+                ng = pa.payload.shape[1]
                 ng_b = -(-ng // gran) * gran
-                payload = packed.payload
+                payload = pa.payload
                 if ng_b != ng:
                     payload = np.zeros((payload.shape[0], ng_b), np.uint8)
-                    payload[:, :ng] = packed.payload
+                    payload[:, :ng] = pa.payload
                 padded = decode_to_padded(
-                    payload, packed.outlier_pos, packed.outlier_res,
-                    jnp.int32(packed.n_samples), packed.k,
+                    payload, pa.outlier_pos, pa.outlier_res,
+                    jnp.int32(pa.n_samples), pa.k,
                     l_bucket + 2 * pad, pad,
                 )
             else:

@@ -178,6 +178,33 @@ def test_frontend_packed_path_bitwise_parity():
     assert raw.total_frames == packed.total_frames
 
 
+def test_frontend_multichunk_packed_parity():
+    """Long files are packed one STFT chunk at a time; the multi-chunk
+    spectrogram (jointly min-max normalized across chunks, reference:
+    prepare_dataset.py:233-252) must match the raw path bitwise."""
+    from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+    from birdsoundclassif_tpu.config import FrontendConfig
+
+    cfg = FrontendConfig(
+        sample_rate=8000, freq_accuracy=100.0, dt=0.003, h_pix=30,
+        low_freq_request=500.0, w_pix=64, overlap_spectro=0.2,
+        stft_chunk_samples=50_000,
+    )
+    rng = np.random.default_rng(11)
+    n = 120_000  # 3 chunks
+    t = np.arange(n) / 8000.0
+    x = np.clip(
+        0.4 * 32767 * np.sin(2 * np.pi * 900 * t) + 300 * rng.standard_normal(n),
+        -32768, 32767,
+    ).astype(np.int16)
+    raw = SpectrogramFrontend(cfg, block_frames=512, wire_codec=False).process(x)
+    packed = SpectrogramFrontend(cfg, block_frames=512, wire_codec=True).process(x)
+    np.testing.assert_array_equal(
+        np.asarray(raw.spec_padded), np.asarray(packed.spec_padded)
+    )
+    assert raw.total_frames == packed.total_frames
+
+
 def test_frontend_accepts_pre_encoded_packet():
     from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
     from birdsoundclassif_tpu.config import FrontendConfig
