@@ -102,6 +102,21 @@ def main():
     detect_from_frontend(params, cfg, fe, 0.2, batch)
     detect_from_frontend(params, cfg, fe, loaded_min_score, batch)
 
+    # the e2e rate is bounded by the host->device link, whose bandwidth
+    # varies widely behind the dev tunnel (measured 18-46 MB/s by time of
+    # day); record it so the headline number can be read in context
+    import jax.numpy as jnp
+
+    probe = np.zeros(4 << 20, np.int16)  # 8 MB
+    _ = float(jnp.sum(jnp.asarray(probe[:1024]).astype(jnp.int32)))
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(jnp.asarray(probe).astype(jnp.int32)))
+    link_mbps = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    from birdsoundclassif_tpu.audio.wirecodec import encode as wire_encode
+
+    wire_ratio = wire_encode(files[0]).wire_bytes / files[0].nbytes
+
     idle_elapsed, idle_det = sweep(0.2)
     loaded_elapsed, loaded_det = sweep(loaded_min_score)
 
@@ -129,6 +144,8 @@ def main():
                         "detections": idle_det,
                         "min_score": 0.2,
                     },
+                    "link_mbps": round(link_mbps, 1),
+                    "wire_codec_ratio": round(wire_ratio, 3),
                     "device": str(jax.devices()[0]),
                 },
             }
