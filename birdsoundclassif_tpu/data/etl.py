@@ -320,3 +320,30 @@ def prepare_dataset(
                 _write_png(os.path.join(out_pos, name), wins[i])
             elif i <= 999:
                 _write_png(os.path.join(out_neg, name), wins[i])
+
+
+def main(argv=None) -> int:
+    """`nbm-prepare` console script. The reference exposes dataset building
+    only as a library function (prepare_dataset.py:12-89); this wraps it
+    with the same defaults."""
+    import argparse
+
+    p = argparse.ArgumentParser("NBM training-image dataset builder")
+    p.add_argument("--dir", required=True,
+                   help="directory of audio files (+ Audacity .txt annotations)")
+    p.add_argument("--out", required=True, help="output dataset directory")
+    p.add_argument("--no_annotations", action="store_true",
+                   help="negative-only corpus: skip the label ETL")
+    p.add_argument("--audio_format", default="",
+                   help="restrict to one extension (default: wav + mp3)")
+    p.add_argument("--bird_dict", default=None,
+                   help="species->id JSON (default: bundled asset)")
+    a = p.parse_args(argv)
+    prepare_dataset(
+        a.dir,
+        a.out,
+        annotations=not a.no_annotations,
+        audio_format=a.audio_format,
+        bird_dict_path=a.bird_dict,
+    )
+    return 0

@@ -318,3 +318,43 @@ def convert_torch_checkpoint(path: str, cfg, init_params: Any = None) -> Any:
 
         init_params = NbmModel.init(jax.random.PRNGKey(0), cfg)
     return state_dict_to_params(state_np, cfg, init_params)
+
+
+def main(argv=None) -> int:
+    """`nbm-convert` console script: convert a checkpoint between the
+    reference torch format (model_chkpt.pt, loaded by
+    run_detection.py:87-122) and this package's flat params.npz. The
+    input dir must hold an `args` config plus either format; the config
+    is copied alongside the converted weights so the output dir is a
+    complete --ckpt for nbm-detect / nbm-train."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser("NBM checkpoint converter")
+    p.add_argument("--ckpt", required=True,
+                   help="model dir with args + (model_chkpt.pt | params.npz | orbax/)")
+    p.add_argument("--out", required=True, help="output model dir")
+    p.add_argument("--to", choices=("npz", "torch"), default="npz",
+                   help="output format (default npz)")
+    a = p.parse_args(argv)
+
+    from ..config import NbmConfig
+    from ..utils.checkpoint import load_params, save_params
+
+    cfg = NbmConfig.load(os.path.join(a.ckpt, "args"))
+    params = load_params(a.ckpt, cfg)  # npz / orbax / torch, whichever exists
+    os.makedirs(a.out, exist_ok=True)
+    if a.to == "npz":
+        path = save_params(a.out, params)
+    else:
+        import torch
+
+        sd = {
+            k: torch.tensor(np.asarray(v))
+            for k, v in params_to_state_dict(params, cfg).items()
+        }
+        path = os.path.join(a.out, "model_chkpt.pt")
+        torch.save({"checkpoints": sd}, path)
+    cfg.save(os.path.join(a.out, "args"))
+    print(f"wrote {path}")
+    return 0

@@ -163,8 +163,45 @@ def test_console_script_entry_points_resolve():
 
     with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
-    assert set(scripts) == {"nbm-detect", "nbm-sweep", "nbm-train", "xeno"}
+    assert set(scripts) == {
+        "nbm-detect", "nbm-sweep", "nbm-train", "nbm-prepare", "nbm-convert",
+        "xeno",
+    }
     for target in scripts.values():
         mod_name, func = target.split(":")
         fn = getattr(importlib.import_module(mod_name), func)
         assert callable(fn)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """nbm-convert: npz -> torch -> npz round-trips the param pytree and
+    copies the config so each output dir is a complete --ckpt."""
+    import jax
+
+    from birdsoundclassif_tpu.config import NbmConfig
+    from birdsoundclassif_tpu.models.detector import NbmModel
+    from birdsoundclassif_tpu.models.torch_convert import main as convert_main
+    from birdsoundclassif_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = NbmConfig()
+    cfg.num_classes = 4
+    cfg.out_fpn_chan = 8
+    cfg.fpn_p_chan = 12
+    cfg.depth_rcnn = 1
+    cfg.img_height, cfg.img_width = 64, 128
+    src, as_torch, back = tmp_path / "src", tmp_path / "pt", tmp_path / "npz"
+    params = NbmModel.init(jax.random.PRNGKey(3), cfg)
+    save_params(str(src), params)
+    cfg.save(str(src / "args"))
+
+    assert convert_main(["--ckpt", str(src), "--out", str(as_torch), "--to", "torch"]) == 0
+    assert (as_torch / "model_chkpt.pt").exists() and (as_torch / "args").exists()
+    assert convert_main(["--ckpt", str(as_torch), "--out", str(back)]) == 0
+
+    restored = load_params(str(back), NbmConfig.load(str(back / "args")))
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
