@@ -26,10 +26,9 @@ def main():
     from birdsoundclassif_tpu.config import NbmConfig
     from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
     from birdsoundclassif_tpu.infer.pipeline import (
-        FilePrefetcher,
-        detect_file_packed,
         detect_from_frontend,
         packed_to_class_dict,
+        stream_detections,
     )
     from birdsoundclassif_tpu.models.detector import NbmModel
     from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
@@ -74,27 +73,18 @@ def main():
     loaded_min_score = float(os.environ.get("BENCH_LOADED_MIN_SCORE", "0.003"))
 
     def sweep(min_score):
-        # three-way overlap: file i+1's decode+H2D+STFT (prefetcher thread),
-        # file i's whole-file detector program (async dispatch), and file
-        # i-1's packed readback + host dict assembly (deferred one file)
-        prefetcher = FilePrefetcher(frontend, sr)
+        # the production three-way-overlap loop (stream_detections is the
+        # same code infer/sweep.py runs): file i+1's decode+H2D+STFT in the
+        # prefetcher thread, file i's whole-file detector program async,
+        # file i-1's packed readback + host dict assembly deferred one file
         t0 = time.perf_counter()
-        futs = [prefetcher.submit(files[0])]
         n_det = 0
-        pending = None
-        for i in range(n_files):
-            fe_res = futs[i].result()
-            if i + 1 < n_files:
-                futs.append(prefetcher.submit(files[i + 1]))
-            packed = detect_file_packed(params, cfg, fe_res, min_score, batch)
-            if pending is not None:
-                out = packed_to_class_dict(np.asarray(pending), cfg)
-                n_det += sum(len(v["scores"]) for v in out.values())
-            pending = packed
-        out = packed_to_class_dict(np.asarray(pending), cfg)
-        n_det += sum(len(v["scores"]) for v in out.values())
+        for _, packed in stream_detections(
+            params, cfg, frontend, files, min_score, batch, sample_rate=sr
+        ):
+            out = packed_to_class_dict(np.asarray(packed), cfg)
+            n_det += sum(len(v["scores"]) for v in out.values())
         elapsed = time.perf_counter() - t0
-        prefetcher.close()
         return elapsed, n_det
 
     # warm-up: compile every stage at both operating points
@@ -108,7 +98,9 @@ def main():
     import jax.numpy as jnp
 
     probe = np.zeros(4 << 20, np.int16)  # 8 MB
-    _ = float(jnp.sum(jnp.asarray(probe[:1024]).astype(jnp.int32)))
+    # warm-up at the SAME shape so the timed run never includes the AOT
+    # compile of the sum program (a copy so the transfer can't be elided)
+    _ = float(jnp.sum(jnp.asarray(probe.copy()).astype(jnp.int32)))
     t0 = time.perf_counter()
     _ = float(jnp.sum(jnp.asarray(probe).astype(jnp.int32)))
     link_mbps = probe.nbytes / 1e6 / (time.perf_counter() - t0)

@@ -236,7 +236,8 @@ class SpectrogramFrontend:
         self.use_pallas = use_pallas
         self.block_frames = 256 if use_pallas else block_frames
         # lossless k-bit delta packing of int16 PCM for the host->device
-        # link (audio/wirecodec.py); applies to single-STFT-chunk files
+        # link (audio/wirecodec.py); long files are packed one STFT chunk
+        # at a time (each chunk's delta stream is self-contained)
         self.wire_codec = wire_codec
 
     def _chunk_spans(self, n_samples: int) -> List[Tuple[int, int]]:
@@ -254,9 +255,10 @@ class SpectrogramFrontend:
         """Full front-end for one file's PCM samples (44.1 kHz mono, int16 /
         f32 array or a pre-encoded wirecodec.PackedAudio).
 
-        One host->device transfer (the samples — delta-bit-packed for int16
-        single-chunk files when wire_codec is on), one dispatch per
-        5e7-sample chunk, one normalize dispatch; no host syncs.
+        One host->device transfer per 5e7-sample STFT chunk (delta-bit-
+        packed when the input is int16 and wire_codec is on), one dispatch
+        per chunk, one normalize dispatch; no host syncs. A pre-encoded
+        PackedAudio input must fit a single chunk.
         """
         from .wirecodec import PackedAudio, encode
 

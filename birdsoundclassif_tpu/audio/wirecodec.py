@@ -11,7 +11,8 @@ over, run_detection.py:53). This module shrinks the wire bytes losslessly:
           pick the smallest k in {8, 10, 12, 13, 14, 16} whose two's-
           complement k-bit range holds all but <= OUTLIER_CAP deltas;
           clamp those outliers in the stored stream and ship the
-          (position, residual) pairs in a fixed-size side table;
+          (position, residual) pairs in a side table rounded up to
+          1024-entry buckets (empty for clean streams);
           bit-pack the k-bit deltas into plane-major uint8 planes.
   device: elementwise unpack (shifts/masks over whole planes — no
           gathers), scatter-add the outlier residuals back into the
@@ -40,7 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 SUPPORTED_BITS = (8, 10, 12, 13, 14, 16)
-OUTLIER_CAP = 8192      # fixed side-table size (64 KB on the wire)
+OUTLIER_CAP = 8192      # max outliers before k must grow (table itself is
+                        # size-bucketed; a full table would be 64 KB on the wire)
 _BLOCK = 512            # prefix-sum block width (one MXU tile-friendly matmul)
 
 
@@ -55,8 +57,8 @@ class PackedAudio:
     """One file's packed PCM stream (everything that crosses the link)."""
 
     payload: np.ndarray        # (bytes_per_group, n_groups) uint8, plane-major
-    outlier_pos: np.ndarray    # (OUTLIER_CAP,) int32, unused slots = 0
-    outlier_res: np.ndarray    # (OUTLIER_CAP,) int32, unused slots = 0
+    outlier_pos: np.ndarray    # (n_tab,) int32, n_tab a multiple of 1024
+    outlier_res: np.ndarray    # (n_tab,) int32; unused slots = 0 in both
     k: int                     # bits per stored delta
     n_samples: int             # real sample count (payload covers a padded count)
 
@@ -169,8 +171,8 @@ def _native_encode(x16: np.ndarray, k: Optional[int]) -> Optional[PackedAudio]:
 @partial(jax.jit, static_argnames=("k", "out_len", "offset"))
 def decode_to_padded(
     payload: jnp.ndarray,      # (bytes_per_group, n_groups) uint8
-    outlier_pos: jnp.ndarray,  # (OUTLIER_CAP,) int32
-    outlier_res: jnp.ndarray,  # (OUTLIER_CAP,) int32
+    outlier_pos: jnp.ndarray,  # (n_tab,) int32, 1024-bucketed (may be empty)
+    outlier_res: jnp.ndarray,  # (n_tab,) int32
     n_samples: jnp.ndarray,    # int32 scalar (traced: one program per shape)
     k: int,
     out_len: int,
@@ -245,9 +247,3 @@ def _blocked_cumsum(d: jnp.ndarray) -> jnp.ndarray:
     offsets = jnp.cumsum(row_tot) - row_tot    # exclusive prefix of row totals
     out = within + offsets[:, None]
     return out.reshape(n_pad)[:n]
-
-
-def decoded_dequant_scale() -> float:
-    """Decoded samples are int16 PCM: the front-end dequantizes by 1/32768
-    exactly as for a raw int16 transfer (librosa PCM16 convention)."""
-    return 1.0 / 32768.0

@@ -339,6 +339,52 @@ class FilePrefetcher:
         self._pool.shutdown(wait=True)
 
 
+def stream_detections(
+    params,
+    cfg,
+    frontend: SpectrogramFrontend,
+    sources,
+    min_score: float,
+    batch: int,
+    sample_rate: int = 44_100,
+    data_sharding=None,
+    on_frontend=None,
+):
+    """Three-way-overlapped per-file detection loop, shared by the
+    production sweep (infer/sweep.py) and bench.py so both measure the
+    same pipeline: file i+1's decode + H2D + STFT run in the prefetcher
+    thread, file i's whole-file detector program is dispatched async, and
+    file i-1's packed readback + host formatting happen in the caller —
+    each yielded (source, packed) is deferred one file for exactly that
+    overlap. Sources may be paths or PCM arrays (FilePrefetcher.submit);
+    decode failures are skipped (reference behavior: run_detection returns
+    None on empty audio). `on_frontend(source, fe_res)` fires before the
+    detector dispatch (e.g. to accumulate audio seconds)."""
+    sources = list(sources)
+    prefetcher = FilePrefetcher(frontend, sample_rate)
+    try:
+        futs = [prefetcher.submit(s) for s in sources[:1]]
+        pending = None
+        for i, src in enumerate(sources):
+            fe_res = futs[i].result()
+            if i + 1 < len(sources):
+                futs.append(prefetcher.submit(sources[i + 1]))
+            if fe_res is None:
+                continue
+            if on_frontend is not None:
+                on_frontend(src, fe_res)
+            packed = detect_file_packed(
+                params, cfg, fe_res, min_score, batch, data_sharding=data_sharding
+            )
+            if pending is not None:
+                yield pending
+            pending = (src, packed)
+        if pending is not None:
+            yield pending
+    finally:
+        prefetcher.close()
+
+
 # ---------------------------------------------------------------------------
 # whole-file driver (reference: run_detection, run_detection.py:28-84)
 # ---------------------------------------------------------------------------

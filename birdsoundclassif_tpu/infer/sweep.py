@@ -38,10 +38,9 @@ def sweep(
 
     from ..audio.frontend import SpectrogramFrontend
     from ..infer.pipeline import (
-        FilePrefetcher,
-        detect_file_packed,
         load_bird_dict,
         packed_to_class_dict,
+        stream_detections,
     )
     from ..parallel.mesh import make_mesh
 
@@ -88,28 +87,16 @@ def sweep(
         with open(path.replace(".wav", ".txt"), "w") as f:
             f.write(str(output))
 
-    # three-way overlap: next file's decode+H2D+STFT (prefetcher thread),
-    # this file's whole-file program (async dispatch), previous file's
-    # packed readback + host formatting (deferred one file)
-    prefetcher = FilePrefetcher(frontend, sr)
-    futs = [prefetcher.submit(f) for f in files[:1]]
-    pending = None
-    for i, path in enumerate(files):
-        fe_res = futs[i].result()
-        if i + 1 < len(files):
-            futs.append(prefetcher.submit(files[i + 1]))
-        if fe_res is None:
-            continue
+    def on_frontend(path, fe_res):
+        nonlocal total_audio_s
         total_audio_s += fe_res.total_frames * dt
-        packed = detect_file_packed(params, cfg, fe_res, min_score, batch,
-                                    data_sharding=data_sharding)
-        if pending is not None:
-            emit(*pending)
-        pending = (path, packed)
-    if pending is not None:
-        emit(*pending)
+
+    for path, packed in stream_detections(
+        params, cfg, frontend, files, min_score, batch,
+        sample_rate=sr, data_sharding=data_sharding, on_frontend=on_frontend,
+    ):
+        emit(path, packed)
     elapsed = time.perf_counter() - t0
-    prefetcher.close()
     if writer:
         writer.close()
     stats = {
@@ -144,6 +131,12 @@ def main(argv=None) -> int:
     if a.distributed:
         kwargs = {}
         if a.coordinator is not None:
+            # manual coordinator (non-pod clusters): all three are needed,
+            # jax.distributed cannot auto-detect process identity there
+            if a.num_processes is None or a.process_id is None:
+                p.error("--coordinator requires --num_processes and "
+                        "--process_id (auto-discovery only works on pods; "
+                        "omit all three there)")
             kwargs = dict(coordinator_address=a.coordinator,
                           num_processes=a.num_processes,
                           process_id=a.process_id)
