@@ -49,3 +49,46 @@ def test_sweep_multidevice(tmp_path, rng, cpu_mesh_devices):
         rec = json.loads(line)
         assert "detections" in rec
     assert (audio / "rec0.txt").exists()
+
+
+def test_stream_detections_order_and_skip(monkeypatch):
+    """stream_detections (the loop shared by infer/sweep.py and bench.py):
+    yields every successfully decoded source exactly once, in order, with
+    the one-file emit deferral, and skips decode failures (reference
+    behavior: run_detection returns None on empty audio)."""
+    from birdsoundclassif_tpu.infer import pipeline as pl
+
+    sources = ["a", "b", "bad", "c"]
+    dispatch_log = []
+
+    class FakePrefetcher:
+        def __init__(self, frontend, sample_rate):
+            pass
+
+        def submit(self, item):
+            import concurrent.futures as cf
+
+            f = cf.Future()
+            f.set_result(None if item == "bad" else f"fe:{item}")
+            return f
+
+        def close(self):
+            pass
+
+    def fake_detect(params, cfg, fe_res, min_score, batch, data_sharding=None):
+        dispatch_log.append(fe_res)
+        return f"packed:{fe_res}"
+
+    monkeypatch.setattr(pl, "FilePrefetcher", FakePrefetcher)
+    monkeypatch.setattr(pl, "detect_file_packed", fake_detect)
+
+    seen_frontend = []
+    out = list(
+        pl.stream_detections(
+            None, None, None, sources, 0.2, 4,
+            on_frontend=lambda src, fe: seen_frontend.append((src, fe)),
+        )
+    )
+    assert out == [("a", "packed:fe:a"), ("b", "packed:fe:b"), ("c", "packed:fe:c")]
+    assert dispatch_log == ["fe:a", "fe:b", "fe:c"]
+    assert seen_frontend == [("a", "fe:a"), ("b", "fe:b"), ("c", "fe:c")]
