@@ -367,6 +367,9 @@ def stream_detections(
         pending = None
         for i, src in enumerate(sources):
             fe_res = futs[i].result()
+            futs[i] = None  # drop the ref: a FrontendResult pins ~12+ MB of
+            # device spectrogram; retaining all of them leaks HBM over a
+            # dataset-scale sweep
             if i + 1 < len(sources):
                 futs.append(prefetcher.submit(sources[i + 1]))
             if fe_res is None:

@@ -44,7 +44,10 @@ def sweep(
     )
     from ..parallel.mesh import make_mesh
 
-    devices = jax.devices()
+    # local devices only: each host meshes its own chips and processes its
+    # own file shard — a global multi-host mesh would require every host to
+    # dispatch the same program in lockstep, which independent files break
+    devices = jax.local_devices()
     n_dev = len(devices)
     data_sharding = None
     if n_dev > 1:

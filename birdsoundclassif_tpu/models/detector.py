@@ -151,9 +151,12 @@ class NbmModel:
         rois: jnp.ndarray,
         cfg,
         bn_updates: Optional[dict] = None,
+        training: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # training=False gives the reference's model.eval() head regime for
+        # validation losses (running-stat BN, dropout off; train.py:362)
         pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
-        return _second_stage_heads(params, pooled, pe, cfg, True, bn_updates)
+        return _second_stage_heads(params, pooled, pe, cfg, training, bn_updates)
 
     @staticmethod
     def forward_second_stage_eval(

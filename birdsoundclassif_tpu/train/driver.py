@@ -29,13 +29,25 @@ from ..utils.checkpoint import (
 )
 
 
+def _str2bool(s: str) -> bool:
+    v = s.lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     """One flag per NbmConfig field (defaults = reference defaults)."""
     p = argparse.ArgumentParser("NBM TPU detector training")
     for f in dataclasses.fields(NbmConfig):
         arg = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(arg, type=lambda s: s.lower() != "false",
+            # reference bools are bare store_true flags (train.py:52-145);
+            # also accept an explicit value, strictly parsed — anything
+            # other than a known true/false spelling is an error, not True
+            p.add_argument(arg, type=_str2bool, nargs="?", const=True,
                            default=f.default)
         elif f.default is None:
             p.add_argument(arg, default=None)
@@ -185,6 +197,13 @@ def main(argv=None) -> int:
         state = shard_tree(state, mesh)
         print(f"mesh: {args.data_parallel} data x {args.model_parallel} model")
 
+    if len(train_indices) < cfg.batch_size:
+        # BatchLoader drops the last partial batch; a split smaller than one
+        # batch would make the epoch loop spin forever with zero steps
+        raise SystemExit(
+            f"train split has {len(train_indices)} samples < batch_size "
+            f"{cfg.batch_size}; lower --batch_size or --validation_prop"
+        )
     train_loader = BatchLoader(dataset, train_indices, cfg.batch_size,
                                cfg.max_gt_boxes, rng)
     val_loader = (
@@ -232,9 +251,8 @@ def main(argv=None) -> int:
                     "Lr", float(make_lr_schedule(cfg.lr, cfg.lr_drop)(steps)), steps
                 )
             if steps % 500 == 0:
-                _validate(cfg, state, eval_step, val_loader, writer, steps, key,
-                          mesh=mesh)
-                val_cls = _last_val_cls_loss
+                val_cls = _validate(cfg, state, eval_step, val_loader, writer,
+                                    steps, key, mesh=mesh)
                 if val_cls is not None and steps / 1000 > cfg.lr_drop and \
                         val_cls < best_val_cls_loss:
                     best_val_cls_loss = val_cls
@@ -259,14 +277,12 @@ def main(argv=None) -> int:
     return 0
 
 
-_last_val_cls_loss: Optional[float] = None
-
-
-def _validate(cfg, state, eval_step, val_loader, writer, steps, key, mesh=None):
-    global _last_val_cls_loss
+def _validate(cfg, state, eval_step, val_loader, writer, steps, key,
+              mesh=None) -> Optional[float]:
+    """Runs the validation pass and returns the averaged sec_class_loss
+    (the best-checkpoint criterion), or None when there is no val data."""
     if val_loader is None:
-        _last_val_cls_loss = None
-        return
+        return None
     if mesh is not None:
         from ..parallel.tp import shard_batch_2d
 
@@ -289,10 +305,13 @@ def _validate(cfg, state, eval_step, val_loader, writer, steps, key, mesh=None):
         n += 1
         last_batch = batch
     if n == 0:
-        _last_val_cls_loss = None
-        return
+        return None
     for k in loss_keys:
-        val[k] /= n
+        # reference: `val_losses[l] /= i` with i the LAST enumerate index,
+        # i.e. n_batches - 1 (train.py:368-374) — an off-by-one the scale of
+        # best_val_cls_loss depends on; guarded for n == 1, where the
+        # reference would divide by zero
+        val[k] /= max(n - 1, 1)
     if last_batch is not None:
         key, sub = jax.random.split(key)
         ld = eval_step(state.params, last_batch, sub, negative_sample=True)
@@ -301,7 +320,7 @@ def _validate(cfg, state, eval_step, val_loader, writer, steps, key, mesh=None):
                 val[k] += float(v)
     for k in loss_keys:
         writer.add_scalar(f"Val_Loss/{k}", val[k], steps)
-    _last_val_cls_loss = val["sec_class_loss"]
+    return val["sec_class_loss"]
 
 
 if __name__ == "__main__":

@@ -34,21 +34,69 @@ def make_lr_schedule(base_lr: float, lr_drop: int):
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
     def group(base_lr):
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.clip_max_norm),
-            optax.adamw(
-                learning_rate=make_lr_schedule(base_lr, cfg.lr_drop),
-                b1=0.9, b2=0.999, eps=1e-8,
-                weight_decay=cfg.weight_decay,
-            ),
+        return optax.adamw(
+            learning_rate=make_lr_schedule(base_lr, cfg.lr_drop),
+            b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=cfg.weight_decay,
         )
 
     def label_fn(params):
         return {k: ("backbone" if k == "backbone" else "rest") for k in params}
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"backbone": group(cfg.lr_backbone), "rest": group(cfg.lr)}, label_fn
     )
+    # ONE global-norm clip over all gradients before the per-group updates —
+    # the reference clips model.parameters() jointly, not per param group,
+    # and skips clipping entirely when max_norm <= 0 (train.py:213-214;
+    # optax's clip_by_global_norm(0) would zero every update instead)
+    if cfg.clip_max_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), tx)
+    return tx
+
+
+def freeze_mask(params: Dict, cfg) -> Dict:
+    """Pytree of bools matching `params`: True = frozen (a torch *buffer* or
+    a requires_grad=False parameter in the reference), so its gradient is
+    zeroed before the global-norm clip and its value restored after the
+    optimizer update. Mirrors the reference's accounting exactly:
+
+    - FrozenBatchNorm2d leaves are buffers (backbone.py:26-62,55-62): all
+      four of scale/bias/mean/var are frozen whenever the backbone family
+      honors norm_layer_backbone='frozen_batchnorm' (the resnet family;
+      vgg/efficientnet run live BN in this port, matching torchvision
+      defaults per backbone.py:123-128's vgg/v2 carve-out).
+    - lr_backbone <= 0 freezes the whole backbone subtree
+      (build_backbone: train_backbone = args.lr_backbone > 0,
+      backbone.py:153; BackboneBase requires_grad_(False), :71-75).
+    - Running mean/var of live BN are buffers everywhere: their grads are
+      zero by construction (training mode normalizes with batch stats) and
+      merge_bn_updates rewrites them, but freezing also keeps AdamW weight
+      decay off them.
+    """
+    bn_keys = {"scale", "bias", "mean", "var"}
+    frozen_bn_backbone = (
+        "vgg" not in cfg.backbone
+        and "efficientnet" not in cfg.backbone
+        and cfg.norm_layer_backbone == "frozen_batchnorm"
+    )
+
+    def walk(node, in_backbone: bool, all_frozen: bool):
+        if isinstance(node, dict):
+            if set(node.keys()) == bn_keys and all(
+                not isinstance(v, dict) for v in node.values()
+            ):
+                bn_frozen = all_frozen or (in_backbone and frozen_bn_backbone)
+                return {
+                    k: bool(bn_frozen or k in ("mean", "var")) for k in node
+                }
+            return {k: walk(v, in_backbone, all_frozen) for k, v in node.items()}
+        return bool(all_frozen)
+
+    return {
+        k: walk(v, k == "backbone", k == "backbone" and cfg.lr_backbone <= 0)
+        for k, v in params.items()
+    }
 
 
 def _set_in(tree: Dict, path: str, leaf_updates: Dict) -> Dict:
@@ -87,24 +135,31 @@ def make_train_step(cfg, tx):
     atl = AnchorTargetLayer(cfg)
     wd = L.weight_dict(cfg)
 
-    def compute_losses(params, batch, key, negative_sample: bool):
+    def compute_losses(params, batch, key, negative_sample: bool,
+                       train_mode: bool = True):
         from ..models.nn import depthwise_taps_mode
 
         with depthwise_taps_mode():
-            return _compute_losses_inner(params, batch, key, negative_sample)
+            return _compute_losses_inner(params, batch, key, negative_sample,
+                                         train_mode)
 
-    def _compute_losses_inner(params, batch, key, negative_sample: bool):
+    def _compute_losses_inner(params, batch, key, negative_sample: bool,
+                              train_mode: bool):
+        # train_mode=False is the reference's model.eval() validation regime
+        # (train.py:362,398): running-stat BN, no dropout, and the proposal
+        # layer's eval topN (500/50 instead of 3000/1000, layers.py:244-246)
         bn: Dict = {}
         img = batch["neg_img"] if negative_sample else batch["img"]
         out1 = NbmModel.forward_first_stage(
-            params, img[..., None], cfg, training=True, bn_updates=bn
+            params, img[..., None], cfg, training=train_mode, bn_updates=bn
         )
         losses: Dict[str, jnp.ndarray] = {}
         rpn_ok = out1.rpn_ok.astype(jnp.float32)
         if negative_sample:
             losses.update(L.first_stage_neg_loss(out1.rpn_cls_scores, cfg))
             _, bbox_classes = NbmModel.forward_second_stage_train(
-                params, out1.fpn_out, jax.lax.stop_gradient(out1.rois), cfg, bn
+                params, out1.fpn_out, jax.lax.stop_gradient(out1.rois), cfg, bn,
+                training=train_mode,
             )
             neg = L.second_stage_neg_loss(bbox_classes, out1.roi_valid)
             losses.update({k: v * rpn_ok for k, v in neg.items()})
@@ -122,7 +177,7 @@ def make_train_step(cfg, tx):
                 cfg,
             )
             bbox_reg, bbox_classes = NbmModel.forward_second_stage_train(
-                params, out1.fpn_out, pt.rois, cfg, bn
+                params, out1.fpn_out, pt.rois, cfg, bn, training=train_mode
             )
             sec = L.second_stage_loss(bbox_reg, bbox_classes, pt, cfg)
             losses.update({k: v * rpn_ok for k, v in sec.items()})
@@ -139,15 +194,29 @@ def make_train_step(cfg, tx):
         (total, (losses, bn)), grads = jax.value_and_grad(
             compute_losses, has_aux=True
         )(state.params, batch, key, negative_sample)
+        # torch buffers / requires_grad=False params produce no gradients in
+        # the reference, so they must not contribute to the global clip norm
+        # (zeroed grads) nor drift under AdamW's decoupled weight decay
+        # (values restored after the update). Their Adam moments stay zero.
+        frozen = freeze_mask(state.params, cfg)
+        grads = jax.tree_util.tree_map(
+            lambda g, f: jnp.zeros_like(g) if f else g, grads, frozen
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old, f: old if f else new, params, state.params, frozen
+        )
         params = merge_bn_updates(params, bn)
         losses["total"] = total
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), losses
 
     @partial(jax.jit, static_argnames=("negative_sample",))
     def eval_step(params, batch, key, negative_sample: bool = False):
-        _, (losses, _) = compute_losses(params, batch, key, negative_sample)
+        # reference validation runs under model.eval() (train.py:362):
+        # running-stat BN, dropout off, eval proposal topN
+        _, (losses, _) = compute_losses(params, batch, key, negative_sample,
+                                        train_mode=False)
         return losses
 
     return train_step, eval_step

@@ -136,6 +136,12 @@ def test_cli_parser_round_trips_scientific_and_bools():
                       "--remat_backbone", "false", "--lr", "3e-4"])
     assert a.max_steps == 5e5 and a.lr == 3e-4
     assert a.focal_loss is True and a.remat_backbone is False
+    # reference-style bare store_true flags work (train.py:52-145) ...
+    bare = p.parse_args(["--focal_loss", "--fpn_first"])
+    assert bare.focal_loss is True and bare.fpn_first is True
+    # ... and a typo'd value is an error, never silently True
+    with pytest.raises(SystemExit):
+        p.parse_args(["--focal_loss", "nope"])
     # no declared NbmConfig field has a container type the parser can't cast
     for f in dataclasses.fields(NbmConfig):
         if f.default is not None:
