@@ -230,7 +230,14 @@ def backbone_apply(
     elif "efficientnet" in name:
         from .backbones_extra import efficientnet_pyramid
 
-        feats = efficientnet_pyramid(params["body"], x, name, training, bn_updates)
+        # the reference passes norm_layer=FrozenBatchNorm2d to the b0-b4
+        # family but exempts v2 (and vgg) — backbone.py:123-131
+        frozen = (
+            cfg.norm_layer_backbone == "frozen_batchnorm"
+            and not name.startswith("efficientnet_v2")
+        )
+        feats = efficientnet_pyramid(params["body"], x, name, training,
+                                     bn_updates, frozen=frozen)
     else:
         feats = resnet_pyramid(
             params["body"], x, name, cfg.norm_layer_backbone,

@@ -214,7 +214,13 @@ def _mbconv_init(key, in_ch, out_ch, expand, kernel, use_se=True, fused=False):
     return p
 
 
-def _apply_bn(p, x, training, bn_updates, path):
+def _apply_bn(p, x, training, bn_updates, path, frozen=False):
+    # frozen=True is the reference's norm_layer=FrozenBatchNorm2d carve-out
+    # for the efficientnet b0-b4 family (backbone.py:123-131 passes the
+    # norm_layer kwarg to every family except vgg / efficientnet_v2):
+    # buffers, never batch stats, in train and eval alike
+    if frozen:
+        return fnn.frozen_batchnorm(p, x)
     if training:
         y, stats = fnn.batchnorm(p, x, training=True)
         if bn_updates is not None:
@@ -224,23 +230,23 @@ def _apply_bn(p, x, training, bn_updates, path):
 
 
 def _mbconv_apply(p, x, stride, kernel, training, bn_updates, path,
-                  fused=False, expand=6):
+                  fused=False, expand=6, frozen=False):
     inp = x
     in_ch = x.shape[-1]
     pad = kernel // 2
     if fused:
         out = fnn.conv2d(p["fused_conv"], x, stride=stride, padding=pad)
-        out = fnn.silu(_apply_bn(p["fused_bn"], out, training, bn_updates, path + "/fused_bn"))
+        out = fnn.silu(_apply_bn(p["fused_bn"], out, training, bn_updates, path + "/fused_bn", frozen))
     else:
         out = x
         if "expand_conv" in p:
             out = fnn.conv2d(p["expand_conv"], out)
             out = fnn.silu(
-                _apply_bn(p["expand_bn"], out, training, bn_updates, path + "/expand_bn")
+                _apply_bn(p["expand_bn"], out, training, bn_updates, path + "/expand_bn", frozen)
             )
         mid = out.shape[-1]
         out = fnn.conv2d(p["dw_conv"], out, stride=stride, padding=pad, groups=mid)
-        out = fnn.silu(_apply_bn(p["dw_bn"], out, training, bn_updates, path + "/dw_bn"))
+        out = fnn.silu(_apply_bn(p["dw_bn"], out, training, bn_updates, path + "/dw_bn", frozen))
     if "se_reduce" in p:
         se = out.mean(axis=(1, 2), keepdims=True)
         se = fnn.silu(fnn.conv2d(p["se_reduce"], se))
@@ -248,7 +254,7 @@ def _mbconv_apply(p, x, stride, kernel, training, bn_updates, path,
         out = out * se
     if "project_conv" in p:  # absent for fused expand==1 (single-conv block)
         out = fnn.conv2d(p["project_conv"], out)
-        out = _apply_bn(p["project_bn"], out, training, bn_updates, path + "/project_bn")
+        out = _apply_bn(p["project_bn"], out, training, bn_updates, path + "/project_bn", frozen)
     if stride == 1 and out.shape[-1] == in_ch:
         out = out + inp  # stochastic depth omitted at eval; residual kept
     return out
@@ -315,11 +321,16 @@ def efficientnet_init(key, name: str) -> Dict:
 
 
 def efficientnet_pyramid(params: Dict, x: jnp.ndarray, name: str,
-                         training=False, bn_updates=None) -> List[jnp.ndarray]:
+                         training=False, bn_updates=None,
+                         frozen=False) -> List[jnp.ndarray]:
+    """frozen=True replaces every BN with FrozenBatchNorm semantics — the
+    reference's norm_layer kwarg for the b0-b4 family under
+    norm_layer_backbone='frozen_batchnorm' (backbone.py:123-131); the v2
+    family is exempt there, so callers pass frozen=False for v2."""
     feats: List[jnp.ndarray] = []
     out = fnn.conv2d(params["stem_conv"], x, stride=2, padding=1)
     out = fnn.silu(_apply_bn(params["stem_bn"], out, training, bn_updates,
-                             "backbone/body/stem_bn"))
+                             "backbone/body/stem_bn", frozen))
     if name.startswith("efficientnet_v2"):
         stages = _EFFNET_V2_STAGES[name]
         taps = {0, 1, 2, 4}
@@ -330,12 +341,13 @@ def efficientnet_pyramid(params: Dict, x: jnp.ndarray, name: str,
                 out = _mbconv_apply(
                     blocks[str(b)], out, s, k, training, bn_updates,
                     f"backbone/body/stage{si}/{b}", fused=(block == "fused"),
+                    frozen=frozen,
                 )
             if si in taps:
                 feats.append(out)
         out = fnn.conv2d(params["head_conv"], out)
         out = fnn.silu(_apply_bn(params["head_bn"], out, training, bn_updates,
-                                 "backbone/body/head_bn"))
+                                 "backbone/body/head_bn", frozen))
         feats.append(out)
         return feats
     wm, dm = _EFFNET_SCALING[name]
@@ -346,7 +358,7 @@ def efficientnet_pyramid(params: Dict, x: jnp.ndarray, name: str,
             s = stride if b == 0 else 1
             out = _mbconv_apply(
                 blocks[str(b)], out, s, k, training, bn_updates,
-                f"backbone/body/stage{si}/{b}",
+                f"backbone/body/stage{si}/{b}", frozen=frozen,
             )
         if si in taps:
             feats.append(out)

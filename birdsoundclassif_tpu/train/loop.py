@@ -63,9 +63,9 @@ def freeze_mask(params: Dict, cfg) -> Dict:
 
     - FrozenBatchNorm2d leaves are buffers (backbone.py:26-62,55-62): all
       four of scale/bias/mean/var are frozen whenever the backbone family
-      honors norm_layer_backbone='frozen_batchnorm' (the resnet family;
-      vgg/efficientnet run live BN in this port, matching torchvision
-      defaults per backbone.py:123-128's vgg/v2 carve-out).
+      honors norm_layer_backbone='frozen_batchnorm' (resnets and
+      efficientnet b0-b4; vgg and efficientnet_v2 are exempt per
+      backbone.py:123-131 and run live BN).
     - lr_backbone <= 0 freezes the whole backbone subtree
       (build_backbone: train_backbone = args.lr_backbone > 0,
       backbone.py:153; BackboneBase requires_grad_(False), :71-75).
@@ -75,10 +75,13 @@ def freeze_mask(params: Dict, cfg) -> Dict:
       decay off them.
     """
     bn_keys = {"scale", "bias", "mean", "var"}
+    # families honoring norm_layer_backbone='frozen_batchnorm': resnets and
+    # efficientnet b0-b4; vgg and efficientnet_v2 are exempt in the
+    # reference (backbone.py:123-131) and always run live BN
     frozen_bn_backbone = (
-        "vgg" not in cfg.backbone
-        and "efficientnet" not in cfg.backbone
-        and cfg.norm_layer_backbone == "frozen_batchnorm"
+        cfg.norm_layer_backbone == "frozen_batchnorm"
+        and "vgg" not in cfg.backbone
+        and not cfg.backbone.startswith("efficientnet_v2")
     )
 
     def walk(node, in_backbone: bool, all_frozen: bool):

@@ -50,7 +50,25 @@ class TestBackboneVariants:
         assert [f.shape[2] for f in feats] == [512, 256, 128, 64]
 
     def test_efficientnet_train_mode_collects_bn(self):
+        # b0-b4 honor norm_layer_backbone='frozen_batchnorm' (the default,
+        # matching reference backbone.py:123-131): no batch stats collected
         cfg = make_cfg("efficientnet_b0")
+        params = backbone_init(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((1, 96, 128, 1))
+        bn = {}
+        backbone_apply(params, x, cfg, training=True, bn_updates=bn)
+        assert not bn
+        # ...but run live BN when the flag asks for plain batchnorm
+        cfg_live = make_cfg("efficientnet_b0", norm_layer_backbone="batchnorm")
+        bn = {}
+        backbone_apply(params, x, cfg_live, training=True, bn_updates=bn)
+        assert any("stem_bn" in k for k in bn)
+        assert all(set(v) == {"mean", "var"} for v in bn.values())
+
+    def test_efficientnet_v2_exempt_from_frozen_bn(self):
+        # the reference's norm_layer kwarg skips the v2 family
+        # (backbone.py:123-131): live BN even under frozen_batchnorm
+        cfg = make_cfg("efficientnet_v2_s")
         params = backbone_init(jax.random.PRNGKey(0), cfg)
         x = jnp.zeros((1, 96, 128, 1))
         bn = {}

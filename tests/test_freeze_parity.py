@@ -84,6 +84,35 @@ class TestFreezeMask:
         assert head_stats and all(mask[k] for k in head_stats)
         assert head_affine and not any(mask[k] for k in head_affine)
 
+    def test_efficientnet_b0_honors_frozen_batchnorm(self):
+        """The reference passes norm_layer=FrozenBatchNorm2d to the b0-b4
+        family (backbone.py:123-131, exempting vgg/v2): the mask freezes
+        every backbone BN leaf, and the training forward uses the frozen
+        (running-stat) normalization — no bn_updates are collected."""
+        from birdsoundclassif_tpu.models.backbone import backbone_init, backbone_apply
+
+        cfg = tiny_cfg(backbone="efficientnet_b0")
+        cfg.set_derived()
+        params = {"backbone": backbone_init(jax.random.PRNGKey(0), cfg)}
+        mask = _flat(freeze_mask(params, cfg))
+        bn = [k for k in mask if k.endswith(
+            ("['scale']", "['bias']", "['mean']", "['var']"))]
+        assert bn and all(mask[k] for k in bn)
+        upd = {}
+        x = jnp.asarray(np.random.default_rng(0).random((1, 64, 128, 1), np.float32))
+        backbone_apply(params["backbone"], x, cfg, training=True, bn_updates=upd)
+        assert upd == {}, "frozen BN must not emit running-stat updates"
+        # v2 is exempt: live BN emits stats in training
+        cfg2 = tiny_cfg(backbone="efficientnet_v2_s")
+        cfg2.set_derived()
+        params2 = {"backbone": backbone_init(jax.random.PRNGKey(0), cfg2)}
+        mask2 = _flat(freeze_mask(params2, cfg2))
+        affine2 = [k for k in mask2 if k.endswith(("['scale']", "['bias']"))]
+        assert affine2 and not any(mask2[k] for k in affine2)
+        upd2 = {}
+        backbone_apply(params2["backbone"], x, cfg2, training=True, bn_updates=upd2)
+        assert upd2, "v2 live BN must emit running-stat updates"
+
     def test_lr_backbone_zero_freezes_backbone(self):
         cfg = tiny_cfg(lr_backbone=0.0)
         params = create_train_state(jax.random.PRNGKey(0), cfg)[0].params
