@@ -30,22 +30,43 @@ def _fold_pair(conv: Dict, bn: Dict) -> None:
 
 
 def fold_frozen_bn(params: Dict, cfg) -> Dict:
-    """Returns a deep-copied params pytree with backbone frozen-BN folded.
-    No-op unless the backbone is a frozen-BN resnet."""
-    if cfg.norm_layer_backbone != "frozen_batchnorm" or (
-        "vgg" in cfg.backbone or "efficientnet" in cfg.backbone
-    ):
-        return params
+    """Returns a deep-copied params pytree with every backbone BN folded
+    into its preceding conv. Inference-only: valid for every family because
+    at eval both frozen_batchnorm and batchnorm(training=False) are the same
+    affine constant (running stats, shared BN_EPS) — do not train the
+    folded tree (live-BN batch statistics would be wrong)."""
     params = jax.tree.map(lambda x: x, params)  # structural copy
     body = params["backbone"]["body"]
-    _fold_pair(body["conv1"], body["bn1"])
-    for stage in range(1, 5):
-        layer = body.get(f"layer{stage}")
-        if layer is None:
-            continue
-        for b in layer.values():
-            for ci in ("1", "2", "3"):
-                _fold_pair(b[f"conv{ci}"], b[f"bn{ci}"])
-            if "downsample" in b:
-                _fold_pair(b["downsample"]["conv"], b["downsample"]["bn"])
+    if "vgg" in cfg.backbone:
+        i = 0
+        while f"conv{i}" in body:
+            _fold_pair(body[f"conv{i}"], body[f"bn{i}"])
+            i += 1
+    elif "efficientnet" in cfg.backbone:
+        _fold_pair(body["stem_conv"], body["stem_bn"])
+        for sk, stage in body.items():
+            if not sk.startswith("stage"):
+                continue
+            for blk in stage.values():
+                for c, n in (
+                    ("fused_conv", "fused_bn"),
+                    ("expand_conv", "expand_bn"),
+                    ("dw_conv", "dw_bn"),
+                    ("project_conv", "project_bn"),
+                ):
+                    if c in blk:
+                        _fold_pair(blk[c], blk[n])
+        if "head_conv" in body:  # v2 family's 1x1 head tap
+            _fold_pair(body["head_conv"], body["head_bn"])
+    else:  # resnet / resnext
+        _fold_pair(body["conv1"], body["bn1"])
+        for stage in range(1, 5):
+            layer = body.get(f"layer{stage}")
+            if layer is None:
+                continue
+            for b in layer.values():
+                for ci in ("1", "2", "3"):
+                    _fold_pair(b[f"conv{ci}"], b[f"bn{ci}"])
+                if "downsample" in b:
+                    _fold_pair(b["downsample"]["conv"], b["downsample"]["bn"])
     return params
