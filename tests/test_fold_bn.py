@@ -53,7 +53,7 @@ def _randomize_bn(tree, key):
         ("resnet50", "batchnorm"),  # live BN still affine at eval
         ("vgg16_bn", "frozen_batchnorm"),
         ("efficientnet_b0", "frozen_batchnorm"),
-        ("efficientnet_v2_s", "frozen_batchnorm"),  # v2: live BN (exempt)
+        ("efficientnet_v2_s", "frozen_batchnorm"),  # deepest family, head tap
     ],
 )
 def test_fold_preserves_eval_forward(backbone, norm):
