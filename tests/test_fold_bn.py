@@ -85,3 +85,43 @@ def test_fold_preserves_eval_forward(backbone, norm):
         g, w = np.asarray(g), np.asarray(w)
         tol = 1e-4 * np.abs(w).max() + 1e-6
         np.testing.assert_allclose(g, w, rtol=0, atol=tol)
+
+
+@pytest.mark.parametrize("backbone", ["efficientnet_b0", "vgg16_bn"])
+def test_load_model_folds_nonresnet_checkpoints(tmp_path, backbone):
+    """load_model (infer CLI path) folds checkpoint-loaded trees for the
+    non-resnet families too: the fold walks named keys, so this guards the
+    npz-load tree structure staying in sync with fold_frozen_bn."""
+    from birdsoundclassif_tpu.infer.pipeline import load_model
+    from birdsoundclassif_tpu.models.detector import NbmModel
+    from birdsoundclassif_tpu.utils.checkpoint import save_params
+
+    cfg = NbmConfig()
+    cfg.backbone = backbone
+    cfg.norm_layer_backbone = "frozen_batchnorm"
+    cfg.num_classes = 6
+    cfg.out_fpn_chan = 32
+    cfg.fpn_p_chan = 48
+    cfg.depth_rcnn = 1
+    cfg.set_derived()
+    params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    _randomize_bn(params["backbone"]["body"], jax.random.PRNGKey(1))
+    save_params(str(tmp_path), params)
+    cfg.save(str(tmp_path / "args"))
+
+    loaded, lcfg = load_model(str(tmp_path))
+    # the returned tree is folded: backbone BNs are identity constants
+    body = loaded["backbone"]["body"]
+    bn = body["stem_bn" if "efficientnet" in backbone else "bn0"]
+    np.testing.assert_array_equal(np.asarray(bn["scale"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(bn["mean"]), 0.0)
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 128, 1))
+    want = NbmModel.forward_first_stage(params, x, cfg, training=False)
+    got = NbmModel.forward_first_stage(loaded, x, lcfg, training=False)
+    for g, w in zip(got.fpn_out, want.fpn_out):
+        # the full first stage computes in bf16 (eps ~4e-3), so the fold's
+        # reassociation shows at bf16 scale here; tight f32 numerics are
+        # covered by test_fold_preserves_eval_forward above
+        g, w = np.asarray(g), np.asarray(w)
+        np.testing.assert_allclose(g, w, rtol=0, atol=2e-2 * np.abs(w).max() + 1e-6)
