@@ -86,7 +86,16 @@ def encode(samples: np.ndarray, k: Optional[int] = None) -> PackedAudio:
     native library is built; the numpy implementation below is the
     reference semantics and the fallback.
     """
-    x16 = np.ascontiguousarray(samples, dtype=np.int16)
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        # A silent cast would turn float PCM in [-1, 1] into near-silence
+        # while claiming losslessness; callers must quantize explicitly.
+        raise TypeError(
+            f"encode() is lossless for int16 PCM only, got dtype {samples.dtype}; "
+            "quantize explicitly (e.g. np.clip(np.round(x * 32768), -32768, 32767)"
+            ".astype(np.int16)) before encoding"
+        )
+    x16 = np.ascontiguousarray(samples)
     if k is None or k in SUPPORTED_BITS:
         native = _native_encode(x16, k)
         if native is not None:

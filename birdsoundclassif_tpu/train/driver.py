@@ -179,9 +179,10 @@ def main(argv=None) -> int:
         )
 
     mesh = None
+    shard_batch = lambda b: b  # noqa: E731
     n_mesh = args.data_parallel * args.model_parallel
     if n_mesh > 1:
-        from ..parallel.tp import make_mesh_2d, shard_tree
+        from ..parallel.tp import make_mesh_2d, shard_batch_2d, shard_tree
 
         devices = jax.devices()
         if len(devices) < n_mesh:
@@ -194,6 +195,7 @@ def main(argv=None) -> int:
                 f"batch_size {cfg.batch_size} not divisible by "
                 f"data_parallel {args.data_parallel}")
         mesh = make_mesh_2d(devices[:n_mesh], args.model_parallel)
+        shard_batch = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
         state = shard_tree(state, mesh)
         print(f"mesh: {args.data_parallel} data x {args.model_parallel} model")
 
@@ -222,10 +224,7 @@ def main(argv=None) -> int:
     print("Start training")
     while steps < cfg.max_steps:
         for batch in train_loader:
-            if mesh is not None:
-                from ..parallel.tp import shard_batch_2d
-
-                batch = shard_batch_2d(batch, mesh)
+            batch = shard_batch(batch)
             neg = (steps % cfg.neg_step_freq == 0) and (steps > cfg.first_neg_step)
             # key stream is a pure function of the step index, so a resumed
             # run draws the same per-step randomness as a continuous one
@@ -252,7 +251,7 @@ def main(argv=None) -> int:
                 )
             if steps % 500 == 0:
                 val_cls = _validate(cfg, state, eval_step, val_loader, writer,
-                                    steps, key, mesh=mesh)
+                                    steps, key, shard_batch=shard_batch)
                 if val_cls is not None and steps / 1000 > cfg.lr_drop and \
                         val_cls < best_val_cls_loss:
                     best_val_cls_loss = val_cls
@@ -278,17 +277,12 @@ def main(argv=None) -> int:
 
 
 def _validate(cfg, state, eval_step, val_loader, writer, steps, key,
-              mesh=None) -> Optional[float]:
+              shard_batch=lambda b: b) -> Optional[float]:
     """Runs the validation pass and returns the averaged sec_class_loss
     (the best-checkpoint criterion), or None when there is no val data."""
     if val_loader is None:
         return None
-    if mesh is not None:
-        from ..parallel.tp import shard_batch_2d
-
-        _shard = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
-    else:
-        _shard = lambda b: b  # noqa: E731
+    _shard = shard_batch
     loss_keys = ["first_class_loss", "first_regression_loss", "sec_class_loss",
                  "sec_regression_loss", "first_neg_class_loss",
                  "sec_neg_class_loss", "cardinality_error"]
