@@ -164,13 +164,6 @@ def key_map(cfg) -> Dict[str, Tuple[str, str]]:
         for name in ("query", "key", "value", "final_projection"):
             lin(f"attn.attention_modules.{i}.{name}", f"attn/{i}/{name}")
 
-    # ---- FPN ----
-    if cfg.fpn == "fpn":
-        for i in range(n_layers):
-            conv(f"fpn.pt_wise.{i}", f"fpn/pt_wise/{i}")
-            conv(f"fpn.out_convs.{i}", f"fpn/out_convs/{i}")
-
-    # ---- head: RPN ----
     def dsc(tk, jk, pe=False):
         conv(tk + ".depth_wise", jk + "/depth_wise")
         conv(tk + ".pt_wise", jk + "/pt_wise")
@@ -178,6 +171,40 @@ def key_map(cfg) -> Dict[str, Tuple[str, str]]:
         if pe:
             conv(tk + ".pe_proj", jk + "/pe_proj")
 
+    # ---- FPN / BiFPN ----
+    if cfg.fpn == "fpn":
+        for i in range(n_layers):
+            conv(f"fpn.pt_wise.{i}", f"fpn/pt_wise/{i}")
+            conv(f"fpn.out_convs.{i}", f"fpn/out_convs/{i}")
+    elif cfg.fpn == "bifpn":
+        # reference: BiFPNLayer (fpn.py:47-100) — Rescale pt_wise convs exist
+        # only where adjacent channel counts differ
+        from .backbone import backbone_channels
+
+        chans = backbone_channels(cfg.backbone)
+        for layer in range(cfg.n_bifpn_layers):
+            bt, bj = f"fpn.layers.{layer}", f"fpn/layers/{layer}"
+            for i in range(1, n_layers):  # td rescale i: channels[i]->channels[i-1]
+                if chans[i] != chans[i - 1]:
+                    conv(f"{bt}.rescalings_td.{i}.pt_wise",
+                         f"{bj}/rescalings_td/{i}/pt_wise")
+            for i in range(n_layers - 1):  # bu rescale i: channels[i]->channels[i+1]
+                if chans[i] != chans[i + 1]:
+                    conv(f"{bt}.rescalings_bu.{i}.pt_wise",
+                         f"{bj}/rescalings_bu/{i}/pt_wise")
+            for i in range(1, n_layers - 1):
+                m[f"{bt}.fusions_td.{i}.weights"] = (
+                    f"{bj}/fusions_td/{i}/weights", "raw")
+                dsc(f"{bt}.fusions_td.{i}.conv", f"{bj}/fusions_td/{i}/conv")
+            for i in range(n_layers):
+                m[f"{bt}.fusions_bu.{i}.weights"] = (
+                    f"{bj}/fusions_bu/{i}/weights", "raw")
+                dsc(f"{bt}.fusions_bu.{i}.conv", f"{bj}/fusions_bu/{i}/conv")
+            if layer == cfg.n_bifpn_layers - 1:
+                for i in range(n_layers):
+                    conv(f"{bt}.out_pt_wise_convs.{i}", f"{bj}/out_pt_wise_convs/{i}")
+
+    # ---- head: RPN ----
     for i in range(n_layers):
         dsc(f"head.rpn.convs.{i}", f"head/rpn/convs/{i}")
         conv(f"head.rpn.cls_score.{i}", f"head/rpn/cls_score/{i}")
