@@ -58,14 +58,22 @@ def first_stage_loss(
 
 
 def first_stage_neg_loss(cls_scores: jnp.ndarray, cfg) -> Dict[str, jnp.ndarray]:
-    """Hard-negative stage-1: background CE on the rcnn_batch_size*20 most
-    confident foreground predictions (reference: nbm_model.py:113-123)."""
+    """Hard-negative stage-1 (reference: nbm_model.py:113-123).
+
+    The reference *intends* background CE on the rcnn_batch_size*20 most
+    confident predictions, but `cross_entropy_loss_rcnn` broadcast-indexes
+    the (bs, k, 2) tensor with (bs,) x (bs, k, 1) indices, which collapses
+    to `max_labels_pred[c, 0]` — so the loss it actually computes is the
+    mean over images of BOTH -log softmax components of the single
+    top-1 most-confident prediction (verified against the genuine module,
+    tests/test_refmod_targets.py; PARITY.md deviation 9). Reproduced
+    faithfully: this is the loss the published checkpoint was trained
+    with, and it is minimized at p=(0.5, 0.5), not at background."""
     b = cls_scores.shape[0]
     probs = cls_scores.reshape(b, -1, 2)
-    k = cfg.rcnn_batch_size * 20
-    top_fg = jax.lax.top_k(probs[..., 1], k)[0]  # most confident positives
-    # CE to background class: -log(1 - p_fg)
-    loss = -_safe_log(1.0 - top_fg).mean()
+    top1 = probs[..., 1].argmax(axis=1)                    # (B,)
+    pair = jnp.take_along_axis(probs, top1[:, None, None], axis=1)[:, 0, :]
+    loss = -_safe_log(pair).mean()
     return {"first_neg_class_loss": loss}
 
 
