@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -198,9 +199,28 @@ def detect_file_packed(
     )
 
 
+def packed_dropped_count(packed: np.ndarray) -> int:
+    """Valid merge candidates silently lost to the merge_nms_max_boxes cap
+    (0 when the file fit). Read from the trailing metadata row (keep == -1)
+    _merge_core appends; 0 for legacy arrays without one."""
+    if packed.shape[0] and packed[-1, 6] < -0.5:
+        return int(packed[-1, 0])
+    return 0
+
+
 def packed_to_class_dict(packed: np.ndarray, cfg) -> Dict[str, Dict[str, np.ndarray]]:
-    """Host-side: packed (N, 7) merge rows -> {class_id_str: {bbox_coord,
-    scores}} over classes 1..num_classes (reference output schema)."""
+    """Host-side: packed (N+1, 7) merge rows (last row = metadata) ->
+    {class_id_str: {bbox_coord, scores}} over classes 1..num_classes
+    (reference output schema). Warns when the merge cap dropped valid
+    candidates (see packed_dropped_count)."""
+    dropped = packed_dropped_count(packed)
+    if dropped:
+        warnings.warn(
+            f"merge NMS capacity cap dropped {dropped} valid candidate boxes "
+            f"(raise cfg.merge_nms_max_boxes or min_score)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     boxes = packed[:, :4]
     scores = packed[:, 4]
     classes = packed[:, 5].astype(np.int32)
@@ -258,10 +278,15 @@ def _merge_core(
     # reference candidate order: class asc, window asc, score desc
     sort_class = jnp.where(flat_valid, flat_classes, num_classes + 1)
     order = jnp.lexsort((-flat_scores, flat_win, sort_class))
+    n_valid_total = flat_valid.sum().astype(jnp.int32)
     if n * r > max_boxes:
         # capacity cap (documented deviation; candidates beyond the cap are
-        # the lowest-ranked of the candidate ordering)
+        # the lowest-ranked of the candidate ordering). n_dropped counts the
+        # VALID candidates lost to the cap so production runs can detect it.
         order = order[:max_boxes]
+        n_dropped = jnp.maximum(n_valid_total - max_boxes, 0)
+    else:
+        n_dropped = jnp.int32(0)
     ob = flat_boxes[order]
     ov = flat_valid[order]
     # the candidate ordering puts all valid entries first, so the greedy
@@ -271,7 +296,7 @@ def _merge_core(
     )[0]
     # pack into one array: a single host transfer instead of four (each
     # device->host sync costs a full link round trip)
-    return jnp.concatenate(
+    rows = jnp.concatenate(
         [
             ob,
             flat_scores[order][:, None],
@@ -280,6 +305,11 @@ def _merge_core(
         ],
         axis=1,
     )
+    # final metadata row: [n_dropped, 0, 0, 0, 0, 0, -1]. keep=-1 marks it
+    # so packed_to_class_dict's keep>0.5 filter never sees it as a box.
+    meta = jnp.zeros((1, 7), rows.dtype)
+    meta = meta.at[0, 0].set(n_dropped.astype(rows.dtype)).at[0, 6].set(-1.0)
+    return jnp.concatenate([rows, meta], axis=0)
 
 
 _merge_on_device = partial(jax.jit, static_argnames=(

@@ -39,6 +39,7 @@ def sweep(
     from ..audio.frontend import SpectrogramFrontend
     from ..infer.pipeline import (
         load_bird_dict,
+        packed_dropped_count,
         packed_to_class_dict,
         stream_detections,
     )
@@ -73,7 +74,9 @@ def sweep(
     n_det = 0
     def emit(path, packed):
         nonlocal n_det
-        class_bbox = packed_to_class_dict(np.asarray(packed), cfg)
+        packed = np.asarray(packed)
+        dropped = packed_dropped_count(packed)
+        class_bbox = packed_to_class_dict(packed, cfg)
         output = {}
         for idx in range(1, cfg.num_classes + 1):
             entry = class_bbox[str(idx)]
@@ -84,7 +87,10 @@ def sweep(
                 }
                 n_det += len(entry["scores"])
         if writer:
-            writer.write(json.dumps({"file": path, "detections": output}) + "\n")
+            rec = {"file": path, "detections": output}
+            if dropped:
+                rec["merge_dropped"] = dropped
+            writer.write(json.dumps(rec) + "\n")
             writer.flush()
         # reference CLI behavior: one .txt per wav
         with open(path.replace(".wav", ".txt"), "w") as f:
