@@ -312,13 +312,35 @@ def _calc_mscore(mat, score, min_n_boxes=0, filter_sp=None):
 
 def evaluate_test_dir(params, cfg, test_dir: str, min_score: float = 0.02, bs: int = 4):
     """Full inference + AP scoring over a directory of wav + Audacity txt
-    pairs (the reference's in-training test eval, train.py:389-396)."""
-    from ..infer.pipeline import run_detection
+    pairs (the reference's in-training test eval, train.py:389-396).
 
+    Uses the streaming whole-file pipeline (one XLA dispatch + one packed
+    readback per file, next file's decode/STFT overlapped) rather than the
+    per-batch run_detection path — the every-500-step in-training eval would
+    otherwise pay one link round trip per window batch."""
+    from ..audio.frontend import SpectrogramFrontend
+    from ..infer.pipeline import (
+        load_bird_dict,
+        packed_to_class_dict,
+        stream_detections,
+    )
+
+    files = sorted(glob.glob(os.path.join(test_dir, "*.wav")))
+    _, reverse = load_bird_dict(None)
+    frontend = SpectrogramFrontend(cfg.frontend)
     outputs = []
-    for wav_path in glob.glob(os.path.join(test_dir, "*.wav")):
-        out = run_detection(params, cfg, wav_path, min_score=min_score, bs=bs)
-        if out is None:
-            continue
+    for wav_path, packed in stream_detections(
+        params, cfg, frontend, files, min_score, bs,
+        sample_rate=cfg.frontend.sample_rate,
+    ):
+        class_bbox = packed_to_class_dict(np.asarray(packed), cfg)
+        out = {}
+        for idx in range(1, cfg.num_classes + 1):
+            entry = class_bbox[str(idx)]
+            if len(entry["bbox_coord"]) > 0:
+                out[reverse[idx]] = {
+                    "bbox_coord": entry["bbox_coord"].tolist(),
+                    "scores": entry["scores"].tolist(),
+                }
         outputs.append((out, format_txt_annots(wav_path.replace(".wav", ".txt"))))
     return compute_AP_scores(outputs)
