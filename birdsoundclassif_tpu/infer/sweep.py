@@ -129,27 +129,11 @@ def main(argv=None) -> int:
     p.add_argument("--min_score", type=float, default=0.2)
     p.add_argument("--out", default=None)
     p.add_argument("--bird_dict", default=None)
-    p.add_argument("--distributed", action="store_true",
-                   help="call jax.distributed.initialize() for multi-host pods")
-    p.add_argument("--coordinator", default=None,
-                   help="coordinator address (host:port); omit on TPU pods "
-                        "where cluster discovery is automatic")
-    p.add_argument("--num_processes", type=int, default=None)
-    p.add_argument("--process_id", type=int, default=None)
+    from ..parallel.mesh import add_distributed_flags, initialize_from_flags
+
+    add_distributed_flags(p)
     a = p.parse_args(argv)
-    if a.distributed:
-        kwargs = {}
-        if a.coordinator is not None:
-            # manual coordinator (non-pod clusters): all three are needed,
-            # jax.distributed cannot auto-detect process identity there
-            if a.num_processes is None or a.process_id is None:
-                p.error("--coordinator requires --num_processes and "
-                        "--process_id (auto-discovery only works on pods; "
-                        "omit all three there)")
-            kwargs = dict(coordinator_address=a.coordinator,
-                          num_processes=a.num_processes,
-                          process_id=a.process_id)
-        jax.distributed.initialize(**kwargs)
+    initialize_from_flags(a, p.error)
     from ..infer.pipeline import load_model
 
     params, cfg = load_model(a.ckpt)

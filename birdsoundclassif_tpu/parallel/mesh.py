@@ -27,6 +27,35 @@ def initialize_distributed(**kwargs) -> None:
     jax.distributed.initialize(**kwargs)
 
 
+def add_distributed_flags(p) -> None:
+    """The multi-host bring-up flags shared by the sweep and train CLIs."""
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host pods")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address (host:port); omit on TPU pods "
+                        "where cluster discovery is automatic")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
+def initialize_from_flags(args, error) -> None:
+    """Bring up jax.distributed from parsed CLI flags (no-op without
+    --distributed). `error` reports a usage error (argparse parser.error)."""
+    if not getattr(args, "distributed", False):
+        return
+    kwargs = {}
+    if args.coordinator is not None:
+        # manual coordinator (non-pod clusters): all three are needed,
+        # jax.distributed cannot auto-detect process identity there
+        if args.num_processes is None or args.process_id is None:
+            error("--coordinator requires --num_processes and --process_id "
+                  "(auto-discovery only works on pods; omit all three there)")
+        kwargs = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (DATA_AXIS,))

@@ -81,15 +81,38 @@ def tree_partition_specs(tree: Any, mesh: Mesh, min_channels: int = 128) -> Any:
 
 
 def shard_tree(tree: Any, mesh: Mesh, min_channels: int = 128) -> Any:
-    """device_put a params/state tree with channel-sharded kernels."""
+    """device_put a params/state tree with channel-sharded kernels.
+
+    Multi-host: host data cannot be device_put onto non-addressable
+    devices; every process holds the same full tree (same init seed /
+    same checkpoint files), so each device slices its shard locally."""
     specs = tree_partition_specs(tree, mesh, min_channels)
-    return jax.device_put(
-        tree,
-        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
-                               is_leaf=lambda x: isinstance(x, P)),
-    )
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def leaf(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(leaf, tree, shardings)
 
 
 def shard_batch_2d(tree: Any, mesh: Mesh) -> Any:
-    """Batch leaves: leading axis over `data`, replicated over `model`."""
-    return jax.device_put(tree, NamedSharding(mesh, P(DATA_AXIS)))
+    """Batch leaves: leading axis over `data`, replicated over `model`.
+
+    Multi-host: when the mesh spans devices this process cannot address,
+    device_put of host data is illegal; every process holds the same full
+    global batch (the loaders are seeded identically), and each device
+    fetches its own slice via make_array_from_callback."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(leaf, tree)

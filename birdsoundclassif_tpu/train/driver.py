@@ -63,6 +63,29 @@ def train_test_split(length: int, val_prop: float, rng: np.random.Generator):
     return indices[cut:], indices[:cut]
 
 
+def is_main_process() -> bool:
+    """Multi-host discipline: exactly one process owns checkpoints, metric
+    files and the config dump (the others would race on the shared FS)."""
+    return jax.process_index() == 0
+
+
+def _gather_to_host(tree):
+    """Materialize a (possibly cross-host-sharded) pytree as host numpy
+    arrays. A collective on multi-host — every process must call it."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
+class _NullWriter:
+    """Metrics sink for non-main processes."""
+
+    def add_scalar(self, tag, value, global_step):
+        pass
+
+
 class MetricsWriter:
     """TensorBoard writer when available; always mirrors to JSONL."""
 
@@ -88,10 +111,17 @@ def save_checkpoint(out_dir, label, state, epoch, best_val_cls_loss,
                     cfg=None):
     """reference save(): model (+ optimizer/scheduler/split when full)
     (train.py:171-187). When cfg is given, `args` is written alongside so
-    the checkpoint dir is self-contained for the inference CLI."""
+    the checkpoint dir is self-contained for the inference CLI.
+
+    Multi-host: every process participates (the param/opt gathers are
+    collectives over cross-host-sharded state); only process 0 writes."""
+    params_host = _gather_to_host(state.params)
+    opt_host = _gather_to_host(state.opt_state) if full else None
+    if not is_main_process():
+        return
     ckpt_dir = os.path.join(out_dir, f"ckpt_{label}")
     os.makedirs(ckpt_dir, exist_ok=True)
-    save_params(ckpt_dir, state.params)
+    save_params(ckpt_dir, params_host)
     if cfg is not None:
         cfg.save(os.path.join(ckpt_dir, "args"))
     meta = {
@@ -102,7 +132,7 @@ def save_checkpoint(out_dir, label, state, epoch, best_val_cls_loss,
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     if full:
-        save_opt_state(os.path.join(ckpt_dir, "opt_state.npz"), state.opt_state)
+        save_opt_state(os.path.join(ckpt_dir, "opt_state.npz"), opt_host)
         np.savez(os.path.join(ckpt_dir, "split.npz"),
                  train_indices=train_indices, val_indices=val_indices)
 
@@ -145,15 +175,21 @@ def main(argv=None) -> int:
         "--model_parallel", type=int, default=1,
         help="model-axis size: channel-shards the big kernels + optimizer "
              "moments over this many devices (parallel/tp.py)")
+    from ..parallel.mesh import add_distributed_flags, initialize_from_flags
+
+    add_distributed_flags(parser)
     args = parser.parse_args(argv)
+    # multi-host bring-up must precede any other jax use
+    initialize_from_flags(args, parser.error)
     cfg = NbmConfig(**{f.name: getattr(args, f.name)
                        for f in dataclasses.fields(NbmConfig)})
 
     from .loop import create_train_state, make_train_step
 
     save_dir = os.path.join(cfg.save_dir, cfg.model_name)
-    os.makedirs(save_dir, exist_ok=True)
-    cfg.save(os.path.join(save_dir, "args"))
+    if is_main_process():
+        os.makedirs(save_dir, exist_ok=True)
+        cfg.save(os.path.join(save_dir, "args"))
 
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
@@ -172,7 +208,8 @@ def main(argv=None) -> int:
         epoch = meta["epoch"]
         best_val_cls_loss = meta["best_val_cls_loss"]
         train_indices, val_indices = split
-        print("Resuming training~~~~")
+        if is_main_process():
+            print("Resuming training~~~~")
     else:
         train_indices, val_indices = train_test_split(
             len(dataset), cfg.validation_prop, rng
@@ -197,7 +234,9 @@ def main(argv=None) -> int:
         mesh = make_mesh_2d(devices[:n_mesh], args.model_parallel)
         shard_batch = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
         state = shard_tree(state, mesh)
-        print(f"mesh: {args.data_parallel} data x {args.model_parallel} model")
+        if is_main_process():
+            print(f"mesh: {args.data_parallel} data x {args.model_parallel} "
+                  f"model over {jax.process_count()} process(es)")
 
     if len(train_indices) < cfg.batch_size:
         # BatchLoader drops the last partial batch; a split smaller than one
@@ -213,7 +252,7 @@ def main(argv=None) -> int:
         if len(val_indices) > 0 else None
     )
 
-    writer = MetricsWriter(save_dir)
+    writer = MetricsWriter(save_dir) if is_main_process() else _NullWriter()
     loss_keys = ["first_class_loss", "first_regression_loss", "sec_class_loss",
                  "sec_regression_loss", "first_neg_class_loss",
                  "sec_neg_class_loss", "cardinality_error"]
@@ -221,7 +260,8 @@ def main(argv=None) -> int:
     save_steps = {180_000, 190_000, 200_000}
     steps = int(state.step)
 
-    print("Start training")
+    if is_main_process():
+        print("Start training")
     while steps < cfg.max_steps:
         for batch in train_loader:
             batch = shard_batch(batch)
@@ -261,7 +301,12 @@ def main(argv=None) -> int:
                 if os.path.isdir(test_dir):
                     from ..eval.ap import evaluate_test_dir
 
-                    metrics = evaluate_test_dir(state.params, cfg, test_dir,
+                    # the eval pipeline runs single-device programs; on
+                    # multi-host, cross-host-sharded params must first be
+                    # materialized locally (a collective — all processes)
+                    eval_params = (_gather_to_host(state.params)
+                                   if jax.process_count() > 1 else state.params)
+                    metrics = evaluate_test_dir(eval_params, cfg, test_dir,
                                                 min_score=0.02, bs=cfg.batch_size)
                     for k, v in metrics.items():
                         writer.add_scalar(f"Test_metrics/{k}", v, steps)

@@ -221,3 +221,52 @@ def test_opt_state_mismatch_is_loud(tmp_path):
     tx2 = optax.sgd(1e-3, momentum=0.9)
     with pytest.raises(ValueError, match="leaf count"):
         load_opt_state(path, tx2.init(params))
+
+
+def test_non_main_process_writes_nothing(dataset_dir, tmp_path, monkeypatch):
+    """Multi-host discipline: a non-zero process runs the full loop but
+    writes no config dump, no metrics, no checkpoints (they would race the
+    main process on the shared FS)."""
+    from birdsoundclassif_tpu.train import driver
+
+    monkeypatch.setattr(driver, "is_main_process", lambda: False)
+    save_root = tmp_path / "models"
+    rc = driver.main(_flags(dataset_dir, save_root, max_steps=2))
+    assert rc == 0
+    mdir = save_root / "itest"
+    assert not (mdir / "ckpt_last").exists()
+    assert not (mdir / "metrics.jsonl").exists()
+    assert not (mdir / "args").exists()
+
+
+def test_driver_distributed_flag(dataset_dir, tmp_path):
+    """train.driver --distributed brings up jax.distributed (explicit
+    single-process coordinator; auto-discovery on real pods) and trains +
+    checkpoints. Subprocess because jax.distributed initializes once per
+    process."""
+    import subprocess
+    import sys
+
+    save_root = tmp_path / "models"
+    flags = _flags(dataset_dir, save_root, max_steps=2) + [
+        "--distributed", "--coordinator", "localhost:12391",
+        "--num_processes", "1", "--process_id", "0",
+    ]
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from birdsoundclassif_tpu.train.driver import main\n"
+        f"raise SystemExit(main({flags!r}))\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        + ["/root/.axon_site"]
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    mdir = save_root / "itest"
+    with open(mdir / "ckpt_last" / "meta.json") as f:
+        assert json.load(f)["steps"] == 2
