@@ -136,11 +136,6 @@ def _chunk_spectrogram(
     return jax.lax.fori_loop(0, n_blocks, body, (out_buf, gmin, gmax))
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _write_chunk(buf: jnp.ndarray, db: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.dynamic_update_slice(buf, db, (0, offset))
-
-
 @jax.jit
 def _normalize(buf: jnp.ndarray, gmin: jnp.ndarray, gmax: jnp.ndarray) -> jnp.ndarray:
     denom = jnp.where(gmax > gmin, gmax - gmin, 1.0)
@@ -230,11 +225,16 @@ class SpectrogramFrontend:
     """
 
     def __init__(self, cfg: FrontendConfig | None = None, block_frames: int = 16384,
-                 use_pallas: bool = False, wire_codec: bool = True):
+                 wire_codec: bool = True):
         self.cfg = cfg or FrontendConfig()
-        # the Pallas fused kernel prefers smaller frame blocks (VMEM-bound)
-        self.use_pallas = use_pallas
-        self.block_frames = 256 if use_pallas else block_frames
+        # NOTE: a fused Pallas STFT kernel was built and chip-benched in r3
+        # and LOST to this XLA path 1.5x device-side (~30 ms vs ~19 ms for
+        # 600 s of audio): Mosaic cannot lower the lane-misaligned hop-132
+        # framing, so the kernel needed n_seg=8 hop-shifted signal copies
+        # materialized in HBM plus a final (blocks, h, bf) transpose pass,
+        # while XLA fuses framing straight into the DFT matmul. Removed;
+        # numbers in docs/BENCH.md ("Pallas STFT settled").
+        self.block_frames = block_frames
         # lossless k-bit delta packing of int16 PCM for the host->device
         # link (audio/wirecodec.py); long files are packed one STFT chunk
         # at a time (each chunk's delta stream is self-contained)
@@ -338,23 +338,12 @@ class SpectrogramFrontend:
                 padded_np = np.zeros((l_bucket + 2 * pad,), samples.dtype)
                 padded_np[pad:pad + (e - s)] = samples[s:e]
                 padded = jnp.asarray(padded_np)
-            if self.use_pallas:
-                from .pallas_stft import stft_db_pallas
-
-                db, mn, mx = stft_db_pallas(
-                    padded, jnp.int32(n_frames), n_blocks, bf, hop, n_fft,
-                    cfg.low_idx, cfg.high_idx, cfg.db_floor, inv_scale,
-                )
-                buf = _write_chunk(buf, db, jnp.int32(out_offset))
-                gmin = jnp.minimum(gmin, mn)
-                gmax = jnp.maximum(gmax, mx)
-            else:
-                buf, gmin, gmax = _chunk_spectrogram(
-                    padded, buf, jnp.int32(out_offset), jnp.int32(n_frames),
-                    gmin, gmax,
-                    n_blocks, bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor,
-                    inv_scale,
-                )
+            buf, gmin, gmax = _chunk_spectrogram(
+                padded, buf, jnp.int32(out_offset), jnp.int32(n_frames),
+                gmin, gmax,
+                n_blocks, bf, hop, n_fft, cfg.low_idx, cfg.high_idx, cfg.db_floor,
+                inv_scale,
+            )
             out_offset += n_frames
 
         spec = _normalize(buf, gmin, gmax)
