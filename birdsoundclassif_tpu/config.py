@@ -193,6 +193,10 @@ class NbmConfig:
     merge_nms_max_boxes: int = 8192   # cap for the cross-window merge NMS
     remat_backbone: bool = False      # jax.checkpoint the backbone in training
                                       # (trades FLOPs for activation memory)
+    remat_granularity: str = "blocks"  # "blocks": one checkpoint per resnet
+                                      # bottleneck + attn + FPN (backward peak
+                                      # = boundaries + one segment); "trunk":
+                                      # one checkpoint around the whole trunk
 
     def __post_init__(self) -> None:
         self.set_derived()

@@ -134,9 +134,17 @@ def resnet_pyramid(
     dilation: bool = False,
     training: bool = False,
     bn_updates: Optional[dict] = None,
+    remat_blocks: bool = False,
 ) -> List[jnp.ndarray]:
     """x: (B, H, W, 3) -> 5 feature maps [relu, layer1..layer4]
-    (reference tap points: backbone.py:82-85)."""
+    (reference tap points: backbone.py:82-85).
+
+    remat_blocks: segmented rematerialization — each bottleneck in its own
+    jax.checkpoint, so the backward pass keeps only block-boundary
+    activations live plus one block's internals (vs the whole trunk's
+    residuals for a single outer checkpoint). Same recompute FLOPs as
+    trunk-level remat (~one extra forward), far lower peak HBM; measured
+    in docs/BENCH.md r3."""
     spec = RESNET_SPECS[name]
     out = fnn.conv2d(params["conv1"], x, stride=2, padding=3)
     out = fnn.relu(
@@ -156,10 +164,25 @@ def resnet_pyramid(
             bp = blocks[str(b)]
             stride = stage_stride if b == 0 else 1
             d = 2 if (dilate_stage and b > 0) else 1
-            out = _bottleneck_apply(
-                bp, out, stride, d, spec["groups"], norm_kind,
-                training, bn_updates, f"backbone/body/layer{stage + 1}/{b}",
-            )
+            path = f"backbone/body/layer{stage + 1}/{b}"
+            if remat_blocks:
+                # BN stat updates flow out as checkpoint outputs so the
+                # side-effect dict never leaks tracers across the boundary
+                def _blk(bp_, x_, _s=stride, _d=d, _p=path):
+                    coll: dict = {}
+                    y = _bottleneck_apply(
+                        bp_, x_, _s, _d, spec["groups"], norm_kind, training,
+                        coll if bn_updates is not None else None, _p,
+                    )
+                    return y, coll
+                out, coll = jax.checkpoint(_blk)(bp, out)
+                if bn_updates is not None:
+                    bn_updates.update(coll)
+            else:
+                out = _bottleneck_apply(
+                    bp, out, stride, d, spec["groups"], norm_kind,
+                    training, bn_updates, path,
+                )
         feats.append(out)
     return feats
 
@@ -214,6 +237,7 @@ def backbone_apply(
     cfg,
     training: bool = False,
     bn_updates: Optional[dict] = None,
+    remat_blocks: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """x: (B, H, W, C_in) -> (features, positional embeddings), NHWC lists."""
     if cfg.position_embedding not in ("sine", "v2", "learned", "v3"):
@@ -241,7 +265,7 @@ def backbone_apply(
     else:
         feats = resnet_pyramid(
             params["body"], x, name, cfg.norm_layer_backbone,
-            cfg.dilation, training, bn_updates,
+            cfg.dilation, training, bn_updates, remat_blocks=remat_blocks,
         )
     if cfg.position_embedding in ("learned", "v3"):
         # note: the learned PE has a fixed 512-channel output that cannot

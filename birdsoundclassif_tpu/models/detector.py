@@ -89,24 +89,67 @@ class NbmModel:
         # geometry, NMS and losses remain f32 downstream
         samples = samples.astype(jnp.dtype(cfg.compute_dtype))
 
+        blocks_mode = (
+            training and cfg.remat_backbone
+            and cfg.remat_granularity == "blocks"
+            # block segmentation is implemented for the resnet families;
+            # vgg/efficientnet take the whole-trunk checkpoint branch below
+            and "vgg" not in cfg.backbone
+            and "efficientnet" not in cfg.backbone
+        )
+
+        def _attn(p_attn, feats, top_n):
+            if not blocks_mode:
+                return sa_pyramid_apply(p_attn, feats, top_n)
+            return jax.checkpoint(
+                lambda p, fs: sa_pyramid_apply(p, fs, top_n)
+            )(p_attn, feats)
+
+        def _fpn(p_fpn, feats, coll):
+            if not blocks_mode:
+                return build_fpn_apply(p_fpn, cfg, feats, training, coll)
+
+            def f(p, fs):
+                c: dict = {}
+                return build_fpn_apply(
+                    p, cfg, fs, training, c if coll is not None else None
+                ), c
+
+            out, c = jax.checkpoint(f)(p_fpn, feats)
+            if coll is not None:
+                coll.update(c)
+            return out
+
         def _trunk(p_backbone, p_attn, p_fpn, x, coll):
-            feats, pos = backbone_apply(p_backbone, x, cfg, training, coll)
+            feats, pos = backbone_apply(p_backbone, x, cfg, training, coll,
+                                        remat_blocks=blocks_mode)
             if cfg.add_posenc:
                 feats = [f + p for f, p in zip(feats, pos)]
             top_n = cfg.pyramid_top_n_attn
             if cfg.fpn_first:
-                fpn_out = build_fpn_apply(p_fpn, cfg, feats, training, coll)
-                fpn_out = sa_pyramid_apply(p_attn, fpn_out, top_n)
+                fpn_out = _fpn(p_fpn, feats, coll)
+                fpn_out = _attn(p_attn, fpn_out, top_n)
             elif cfg.sandwich_attn:
-                feats = sa_pyramid_apply(p_attn["0"], feats, top_n)
-                fpn_out = build_fpn_apply(p_fpn, cfg, feats, training, coll)
-                fpn_out = sa_pyramid_apply(p_attn["1"], fpn_out, top_n)
+                feats = _attn(p_attn["0"], feats, top_n)
+                fpn_out = _fpn(p_fpn, feats, coll)
+                fpn_out = _attn(p_attn["1"], fpn_out, top_n)
             else:
-                feats = sa_pyramid_apply(p_attn, feats, top_n)
-                fpn_out = build_fpn_apply(p_fpn, cfg, feats, training, coll)
+                feats = _attn(p_attn, feats, top_n)
+                fpn_out = _fpn(p_fpn, feats, coll)
             return fpn_out
 
-        if training and cfg.remat_backbone:
+        if blocks_mode:
+            # segmented remat: every resnet bottleneck, the attention
+            # pyramid, and the FPN each in their own jax.checkpoint — the
+            # backward pass keeps only segment boundaries live plus one
+            # segment's internals. Same ~one-extra-forward recompute as the
+            # trunk-level checkpoint, far lower peak HBM (docs/BENCH.md r3).
+            # Non-resnet families fall back to whole-trunk below.
+            fpn_out = _trunk(
+                params["backbone"], params["attn"], params["fpn"], samples,
+                bn_updates,
+            )
+        elif training and cfg.remat_backbone:
             # rematerialize the whole trunk (backbone + attn + FPN) in the
             # backward pass; BN stats flow out as a pytree so the checkpoint
             # boundary stays clean

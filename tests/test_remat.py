@@ -1,0 +1,92 @@
+"""Rematerialization must not change the math: the training-step gradients
+are identical (up to compiler-level float noise) with remat off, with the
+whole-trunk checkpoint, and with the r3 block-granular segmentation
+(one jax.checkpoint per resnet bottleneck + attn + FPN)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from birdsoundclassif_tpu.config import NbmConfig
+from birdsoundclassif_tpu.models.detector import NbmModel
+from birdsoundclassif_tpu.train.loop import create_train_state, make_train_step
+
+
+def _tiny_cfg(**kw):
+    cfg = NbmConfig()
+    cfg.num_classes = 3
+    cfg.out_fpn_chan = 16
+    cfg.fpn_p_chan = 24
+    cfg.depth_rcnn = 1
+    cfg.img_height, cfg.img_width = 128, 256
+    cfg.pre_nms_topN = 256
+    cfg.post_nms_topN = 64
+    cfg.max_gt_boxes = 2
+    cfg.compute_dtype = "float32"
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    cfg.set_derived()
+    return cfg
+
+
+def _batch(rng, b=2, g=2):
+    img = rng.random((b, 128, 256)).astype(np.float32) * 0.2
+    img[:, 40:80, 60:140] += 0.7
+    return {
+        "img": jnp.asarray(img),
+        "neg_img": jnp.asarray(rng.random((b, 128, 256)).astype(np.float32) * 0.2),
+        "gt_boxes": jnp.asarray(
+            np.tile(np.array([[60.0, 40.0, 139.0, 79.0]], np.float32), (b, g, 1))
+        ),
+        "gt_valid": jnp.asarray(np.tile([True, False], (b, 1))),
+        "gt_labels": jnp.asarray(np.tile([2, 0], (b, 1)).astype(np.int32)),
+    }
+
+
+def _one_step_grads(cfg, batch, key):
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    train_step, _ = make_train_step(cfg, tx)
+    state, losses = train_step(state, batch, key, negative_sample=False)
+    return state.params, {k: float(v) for k, v in losses.items()}
+
+
+def test_remat_modes_match(rng):
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(7)
+    p_off, l_off = _one_step_grads(_tiny_cfg(remat_backbone=False), batch, key)
+    p_trunk, l_trunk = _one_step_grads(
+        _tiny_cfg(remat_backbone=True, remat_granularity="trunk"), batch, key)
+    p_blk, l_blk = _one_step_grads(
+        _tiny_cfg(remat_backbone=True, remat_granularity="blocks"), batch, key)
+
+    for k in l_off:
+        assert np.isfinite(l_off[k])
+        np.testing.assert_allclose(l_off[k], l_trunk[k], rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(l_off[k], l_blk[k], rtol=2e-5, atol=1e-6)
+
+    flat_off = jax.tree_util.tree_leaves_with_path(p_off)
+    flat_blk = dict(jax.tree_util.tree_leaves_with_path(p_blk))
+    flat_trunk = dict(jax.tree_util.tree_leaves_with_path(p_trunk))
+    checked = 0
+    for path, leaf in flat_off:
+        a = np.asarray(leaf, np.float64)
+        np.testing.assert_allclose(
+            a, np.asarray(flat_trunk[path], np.float64), rtol=1e-4, atol=1e-6,
+            err_msg=f"trunk remat diverges at {jax.tree_util.keystr(path)}")
+        np.testing.assert_allclose(
+            a, np.asarray(flat_blk[path], np.float64), rtol=1e-4, atol=1e-6,
+            err_msg=f"block remat diverges at {jax.tree_util.keystr(path)}")
+        checked += 1
+    assert checked > 50
+
+
+def test_blocks_mode_bn_updates_flow(rng):
+    """With trainable BN the per-block checkpoints must still surface BN
+    stat updates (they cross the boundary as checkpoint outputs)."""
+    cfg = _tiny_cfg(remat_backbone=True, remat_granularity="blocks",
+                    norm_layer_backbone="batchnorm")
+    params = NbmModel.init(jax.random.PRNGKey(0), cfg)
+    bn: dict = {}
+    x = jnp.asarray(rng.random((1, 128, 256, 1)).astype(np.float32))
+    NbmModel.forward_first_stage(params, x, cfg, training=True, bn_updates=bn)
+    assert any("layer" in k for k in bn), sorted(bn)[:5]
