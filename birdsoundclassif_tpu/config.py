@@ -193,9 +193,17 @@ class NbmConfig:
     merge_nms_max_boxes: int = 8192   # cap for the cross-window merge NMS
     remat_backbone: bool = False      # jax.checkpoint the backbone in training
                                       # (trades FLOPs for activation memory)
-    remat_granularity: str = "blocks"  # "blocks": one checkpoint per resnet
-                                      # bottleneck + attn + FPN (backward peak
-                                      # = boundaries + one segment); "trunk":
+    grad_accum_steps: int = 1         # split each optimizer batch into this
+                                      # many sequential microbatches (scanned
+                                      # in one traced step): optimizer-step
+                                      # batch sizes beyond the HBM wall at
+                                      # one microbatch's activation footprint
+    remat_granularity: str = "stages"  # "stages": one checkpoint per resnet
+                                      # stage + attn + FPN (backward peak =
+                                      # boundaries + one stage); "blocks":
+                                      # per-bottleneck (lowest peak, but the
+                                      # many-region HLO breaks the remote
+                                      # compile helper above B=8); "trunk":
                                       # one checkpoint around the whole trunk
 
     def __post_init__(self) -> None:

@@ -134,17 +134,21 @@ def resnet_pyramid(
     dilation: bool = False,
     training: bool = False,
     bn_updates: Optional[dict] = None,
-    remat_blocks: bool = False,
+    remat: str = "none",
 ) -> List[jnp.ndarray]:
     """x: (B, H, W, 3) -> 5 feature maps [relu, layer1..layer4]
     (reference tap points: backbone.py:82-85).
 
-    remat_blocks: segmented rematerialization — each bottleneck in its own
-    jax.checkpoint, so the backward pass keeps only block-boundary
-    activations live plus one block's internals (vs the whole trunk's
-    residuals for a single outer checkpoint). Same recompute FLOPs as
-    trunk-level remat (~one extra forward), far lower peak HBM; measured
-    in docs/BENCH.md r3."""
+    remat: segmented rematerialization granularity —
+      "blocks": each bottleneck in its own jax.checkpoint, so the backward
+        pass keeps only block-boundary activations live plus one block's
+        internals (vs the whole trunk's residuals for a single outer
+        checkpoint). Lowest peak HBM, but the many-region HLO is expensive
+        to compile (the remote compile helper fails above B=8 on v5e).
+      "stages": one jax.checkpoint per resnet stage (4 regions) — peak is
+        stage boundaries plus one stage's internals; compiles like the
+        plain program. Same ~one-extra-forward recompute as trunk remat
+        either way; measured in docs/BENCH.md r3."""
     spec = RESNET_SPECS[name]
     out = fnn.conv2d(params["conv1"], x, stride=2, padding=3)
     out = fnn.relu(
@@ -160,29 +164,42 @@ def resnet_pyramid(
         dilate_stage = dilation and stage == 3
         if dilate_stage:
             stage_stride = 1
-        for b in range(len(blocks)):
-            bp = blocks[str(b)]
-            stride = stage_stride if b == 0 else 1
-            d = 2 if (dilate_stage and b > 0) else 1
-            path = f"backbone/body/layer{stage + 1}/{b}"
-            if remat_blocks:
+
+        def _block(bp, x_, b, coll, _ss=stage_stride, _ds=dilate_stage,
+                   _stage=stage):
+            stride = _ss if b == 0 else 1
+            d = 2 if (_ds and b > 0) else 1
+            return _bottleneck_apply(
+                bp, x_, stride, d, spec["groups"], norm_kind, training,
+                coll, f"backbone/body/layer{_stage + 1}/{b}",
+            )
+
+        if remat == "blocks":
+            for b in range(len(blocks)):
                 # BN stat updates flow out as checkpoint outputs so the
                 # side-effect dict never leaks tracers across the boundary
-                def _blk(bp_, x_, _s=stride, _d=d, _p=path):
+                def _blk(bp_, x_, _b=b):
                     coll: dict = {}
-                    y = _bottleneck_apply(
-                        bp_, x_, _s, _d, spec["groups"], norm_kind, training,
-                        coll if bn_updates is not None else None, _p,
-                    )
+                    y = _block(bp_, x_, _b,
+                               coll if bn_updates is not None else None)
                     return y, coll
-                out, coll = jax.checkpoint(_blk)(bp, out)
+                out, coll = jax.checkpoint(_blk)(blocks[str(b)], out)
                 if bn_updates is not None:
                     bn_updates.update(coll)
-            else:
-                out = _bottleneck_apply(
-                    bp, out, stride, d, spec["groups"], norm_kind,
-                    training, bn_updates, path,
-                )
+        elif remat == "stages":
+            def _stg(sp_, x_):
+                coll: dict = {}
+                y = x_
+                for b in range(len(sp_)):
+                    y = _block(sp_[str(b)], y, b,
+                               coll if bn_updates is not None else None)
+                return y, coll
+            out, coll = jax.checkpoint(_stg)(blocks, out)
+            if bn_updates is not None:
+                bn_updates.update(coll)
+        else:
+            for b in range(len(blocks)):
+                out = _block(blocks[str(b)], out, b, bn_updates)
         feats.append(out)
     return feats
 
@@ -237,7 +254,7 @@ def backbone_apply(
     cfg,
     training: bool = False,
     bn_updates: Optional[dict] = None,
-    remat_blocks: bool = False,
+    remat: str = "none",
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """x: (B, H, W, C_in) -> (features, positional embeddings), NHWC lists."""
     if cfg.position_embedding not in ("sine", "v2", "learned", "v3"):
@@ -265,7 +282,7 @@ def backbone_apply(
     else:
         feats = resnet_pyramid(
             params["body"], x, name, cfg.norm_layer_backbone,
-            cfg.dilation, training, bn_updates, remat_blocks=remat_blocks,
+            cfg.dilation, training, bn_updates, remat=remat,
         )
     if cfg.position_embedding in ("learned", "v3"):
         # note: the learned PE has a fixed 512-channel output that cannot

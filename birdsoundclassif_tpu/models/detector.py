@@ -91,8 +91,8 @@ class NbmModel:
 
         blocks_mode = (
             training and cfg.remat_backbone
-            and cfg.remat_granularity == "blocks"
-            # block segmentation is implemented for the resnet families;
+            and cfg.remat_granularity in ("blocks", "stages")
+            # segmentation is implemented for the resnet families;
             # vgg/efficientnet take the whole-trunk checkpoint branch below
             and "vgg" not in cfg.backbone
             and "efficientnet" not in cfg.backbone
@@ -121,8 +121,9 @@ class NbmModel:
             return out
 
         def _trunk(p_backbone, p_attn, p_fpn, x, coll):
-            feats, pos = backbone_apply(p_backbone, x, cfg, training, coll,
-                                        remat_blocks=blocks_mode)
+            feats, pos = backbone_apply(
+                p_backbone, x, cfg, training, coll,
+                remat=cfg.remat_granularity if blocks_mode else "none")
             if cfg.add_posenc:
                 feats = [f + p for f, p in zip(feats, pos)]
             top_n = cfg.pyramid_top_n_attn
@@ -139,11 +140,13 @@ class NbmModel:
             return fpn_out
 
         if blocks_mode:
-            # segmented remat: every resnet bottleneck, the attention
-            # pyramid, and the FPN each in their own jax.checkpoint — the
-            # backward pass keeps only segment boundaries live plus one
-            # segment's internals. Same ~one-extra-forward recompute as the
-            # trunk-level checkpoint, far lower peak HBM (docs/BENCH.md r3).
+            # segmented remat: every resnet bottleneck ("blocks") or stage
+            # ("stages"), plus the attention pyramid and the FPN, each in
+            # their own jax.checkpoint — the backward pass keeps only
+            # segment boundaries live plus one segment's internals. Same
+            # ~one-extra-forward recompute as the trunk-level checkpoint,
+            # far lower peak HBM; "stages" keeps the HLO small enough for
+            # the remote compile helper at large B (docs/BENCH.md r3).
             # Non-resnet families fall back to whole-trunk below.
             fpn_out = _trunk(
                 params["backbone"], params["attn"], params["fpn"], samples,

@@ -238,6 +238,10 @@ def main(argv=None) -> int:
             print(f"mesh: {args.data_parallel} data x {args.model_parallel} "
                   f"model over {jax.process_count()} process(es)")
 
+    if cfg.grad_accum_steps > 1 and cfg.batch_size % cfg.grad_accum_steps:
+        raise SystemExit(
+            f"batch_size {cfg.batch_size} not divisible by "
+            f"grad_accum_steps {cfg.grad_accum_steps}")
     if len(train_indices) < cfg.batch_size:
         # BatchLoader drops the last partial batch; a split smaller than one
         # batch would make the epoch loop spin forever with zero steps

@@ -188,15 +188,55 @@ def make_train_step(cfg, tx):
         total = sum(losses[k] * wd[k] for k in losses if k in wd)
         return total, (losses, bn)
 
+    def _accum_grads(params, batch, key, negative_sample: bool):
+        """Gradient accumulation over cfg.grad_accum_steps microbatches,
+        scanned inside the one traced step. Peak activation memory is one
+        microbatch's backward; the optimizer sees the full-batch gradient
+        mean. Semantics note: per-batch loss normalizations (e.g. the
+        positive-anchor count in first_stage_loss) apply per microbatch and
+        are then averaged — standard grad-accum behavior, not bitwise equal
+        to the single-batch step. BN running-stat updates are averaged
+        across microbatches, which for momentum updates equals one update
+        with the mean batch statistic."""
+        A = cfg.grad_accum_steps
+        keys = jax.random.split(key, A)
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((A, x.shape[0] // A) + x.shape[1:]), batch
+        )
+
+        def body(carry, xs):
+            mb, k = xs
+            (total, (losses, bn)), grads = jax.value_and_grad(
+                compute_losses, has_aux=True
+            )(params, mb, k, negative_sample)
+            carry = jax.tree_util.tree_map(jnp.add, carry, grads)
+            losses["total"] = total
+            return carry, (losses, bn)
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.result_type(p, jnp.float32)),
+            params,
+        )
+        gsum, (losses, bn) = jax.lax.scan(body, zero, (micro, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / A, gsum)
+        losses = jax.tree_util.tree_map(jnp.mean, losses)
+        bn = jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), bn)
+        total = losses.pop("total")
+        return (total, (losses, bn)), grads
+
     @partial(jax.jit, static_argnames=("negative_sample",),
              donate_argnums=(0,))
     def train_step(state: TrainState, batch, key, negative_sample: bool = False):
         # state is donated: params/opt_state buffers (~0.9 GB at flagship
         # scale) are updated in place instead of doubling HBM residency.
         # Every call site rebinds `state, losses = train_step(state, ...)`.
-        (total, (losses, bn)), grads = jax.value_and_grad(
-            compute_losses, has_aux=True
-        )(state.params, batch, key, negative_sample)
+        if cfg.grad_accum_steps > 1:
+            (total, (losses, bn)), grads = _accum_grads(
+                state.params, batch, key, negative_sample)
+        else:
+            (total, (losses, bn)), grads = jax.value_and_grad(
+                compute_losses, has_aux=True
+            )(state.params, batch, key, negative_sample)
         # torch buffers / requires_grad=False params produce no gradients in
         # the reference, so they must not contribute to the global clip norm
         # (zeroed grads) nor drift under AdamW's decoupled weight decay

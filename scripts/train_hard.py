@@ -1,0 +1,224 @@
+"""Class-scale training demonstration (VERDICT r2 next #3).
+
+Non-trivial 150-class run: every bird_dict species gets a morphology-coded
+signature over heavily overlapping bands (data/synthetic.py species_bank),
+plus rain/wind/insect interference beds, so the AP protocol does NOT
+saturate. Runs the real driver (train/driver.py) for --steps on the session
+backend (the TPU when available), twice:
+
+  A. neg_on  — the reference hard-negative cadence (every neg_step_freq
+     steps; reference train.py:340-343)
+  B. neg_off — first_neg_step > max_steps disables the cadence
+
+then measures the false-positive rate of both final checkpoints on
+annotation-free interference-only recordings, and writes
+TRAINING_E2E_r3.json with the mAP trajectories + the ablation.
+
+Usage: python scripts/train_hard.py [--steps 12000] [--work_dir /tmp/nbm_hard]
+       [--skip_ablation] [--batch_size 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fp_rate(params, cfg, neg_dir, min_score=0.02, bs=16):
+    """Detections on annotation-free interference recordings. Returns
+    counts at several score thresholds + the per-file top score."""
+    import numpy as np
+
+    from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+    from birdsoundclassif_tpu.infer.pipeline import (
+        packed_to_class_dict, stream_detections,
+    )
+
+    wavs = sorted(
+        os.path.join(neg_dir, f) for f in os.listdir(neg_dir) if f.endswith(".wav")
+    )
+    thresholds = (0.1, 0.3, 0.5, 0.7)
+    counts = {t: 0 for t in thresholds}
+    top_scores = []
+    seconds = [0.0]
+    frontend = SpectrogramFrontend(cfg.frontend)
+    hop, sr = cfg.frontend.hop_length, cfg.frontend.sample_rate
+
+    def on_frontend(_src, fe):
+        seconds[0] += fe.total_frames * hop / sr
+
+    for _path, packed in stream_detections(
+        params, cfg, frontend, wavs, min_score, bs,
+        sample_rate=sr, on_frontend=on_frontend,
+    ):
+        class_bbox = packed_to_class_dict(np.asarray(packed), cfg)
+        scores = [float(s) for entry in class_bbox.values()
+                  for s in entry["scores"]]
+        top_scores.append(max(scores) if scores else 0.0)
+        for t in thresholds:
+            counts[t] += sum(1 for s in scores if s >= t)
+    hours = seconds[0] / 3600.0
+    return {
+        "n_files": len(wavs),
+        "audio_hours": round(hours, 3),
+        "fp_per_hour": {str(t): round(c / hours, 2) for t, c in counts.items()},
+        "fp_total": {str(t): c for t, c in counts.items()},
+        "mean_top_score": round(float(np.mean(top_scores)), 4),
+    }
+
+
+def run_driver(data_dir, save_root, name, steps, batch_size, extra=()):
+    from birdsoundclassif_tpu.train import driver
+
+    flags = [
+        "--data_path", data_dir,
+        "--save_dir", save_root,
+        "--model_name", name,
+        "--batch_size", str(batch_size),
+        "--max_steps", str(steps),
+        *extra,
+    ]
+    t0 = time.time()
+    rc = driver.main(flags)
+    assert rc == 0
+    return time.time() - t0
+
+
+def trajectory(save_root, name):
+    out = {}
+    with open(os.path.join(save_root, name, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"].startswith("Test_metrics/"):
+                out.setdefault(rec["step"], {})[rec["tag"].split("/")[1]] = \
+                    round(rec["value"], 4)
+    return {str(k): v for k, v in sorted(out.items())}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=12000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr_drop", type=int, default=8,
+                   help="LR /10 after this many thousand steps")
+    p.add_argument("--work_dir", default="/tmp/nbm_hard")
+    p.add_argument("--n_species", type=int, default=150,
+                   help="truncate the bird_dict species list (smoke tests)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.add_argument("--out", default="TRAINING_E2E_r3.json")
+    p.add_argument("--skip_ablation", action="store_true",
+                   help="only run the neg_on model")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import numpy as np
+
+    from birdsoundclassif_tpu.data.etl import _ASSET_BIRD_DICT, prepare_dataset
+    from birdsoundclassif_tpu.data.synthetic import write_hard_corpus
+
+    with open(_ASSET_BIRD_DICT) as f:
+        names = list(json.load(f).keys())[:args.n_species]
+
+    work = os.path.abspath(args.work_dir)
+    rec_dir = os.path.join(work, "rec")            # train recordings
+    hneg_rec = os.path.join(work, "rec_hardneg")   # interference for hard_neg aug
+    neg_dir = os.path.join(work, "neg_eval")       # interference for FP eval
+    data_dir = os.path.join(work, "dataset")
+    test_dir = os.path.join(data_dir, "test_files", "XC_annots")
+
+    t0 = time.time()
+    if not os.path.isdir(os.path.join(data_dir, "positive_files")):
+        rng = np.random.default_rng(42)
+        counts = write_hard_corpus(rec_dir, test_dir, neg_dir, rng, names,
+                                   files_per_species=2, n_negative_files=24,
+                                   train_duration_s=15.0, calls_per_file=4)
+        # a second, disjoint interference corpus becomes the hard_neg
+        # augmentation pool (reference: image_dataset.py:64-101 mixes
+        # hard-negative windows into the negative image)
+        rng_h = np.random.default_rng(4242)
+        write_hard_corpus(os.path.join(work, "_unused_rec"),
+                          os.path.join(work, "_unused_test"), hneg_rec, rng_h,
+                          names[:1], files_per_species=0, n_negative_files=30)
+        print(f"corpus: {counts}", flush=True)
+        prepare_dataset(rec_dir, data_dir)
+        # interference windows -> dataset/hard_neg/<folder>/*.png
+        hneg_out = os.path.join(work, "_hardneg_ds")
+        prepare_dataset(hneg_rec, hneg_out, annotations=False)
+        src = os.path.join(hneg_out, "negative_files")
+        dst = os.path.join(data_dir, "hard_neg")
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            os.rename(src, dst)
+    etl_s = time.time() - t0
+    n_pos = sum(len(files) for _, _, files in
+                os.walk(os.path.join(data_dir, "positive_files")))
+    n_hard = sum(len(files) for _, _, files in
+                 os.walk(os.path.join(data_dir, "hard_neg")))
+    print(f"ETL {etl_s:.0f}s: {n_pos} positive window files, "
+          f"{n_hard} hard_neg windows", flush=True)
+
+    save_root = os.path.join(work, "models")
+    common = ["--lr_drop", str(args.lr_drop)]
+    runs = {}
+    t = run_driver(data_dir, save_root, "hard_neg_on", args.steps,
+                   args.batch_size, common)
+    runs["neg_on"] = {"train_wall_s": round(t, 1),
+                      "trajectory": trajectory(save_root, "hard_neg_on")}
+    print(f"neg_on done in {t:.0f}s", flush=True)
+    if not args.skip_ablation:
+        t = run_driver(data_dir, save_root, "hard_neg_off", args.steps,
+                       args.batch_size,
+                       common + ["--first_neg_step", str(10 * args.steps)])
+        runs["neg_off"] = {"train_wall_s": round(t, 1),
+                           "trajectory": trajectory(save_root, "hard_neg_off")}
+        print(f"neg_off done in {t:.0f}s", flush=True)
+
+    # FP ablation on the interference-only recordings
+    from birdsoundclassif_tpu.eval.ap import evaluate_test_dir
+    from birdsoundclassif_tpu.infer.pipeline import load_model
+
+    for key in list(runs):
+        name = "hard_neg_on" if key == "neg_on" else "hard_neg_off"
+        params, cfg2 = load_model(os.path.join(save_root, name, "ckpt_last"))
+        runs[key]["fp_on_interference"] = fp_rate(params, cfg2, neg_dir)
+        runs[key]["final_test"] = evaluate_test_dir(
+            params, cfg2, test_dir, min_score=0.02, bs=args.batch_size)
+        print(f"{key}: fp={runs[key]['fp_on_interference']} "
+              f"final={runs[key]['final_test']}", flush=True)
+
+    result = {
+        "what": "class-scale training demo: 150 bird_dict species with "
+                "overlapping-band morphology-coded signatures + interference "
+                "beds; real driver runs with the hard-negative cadence on vs "
+                "off; FP rate measured on interference-only recordings",
+        "device": str(jax.devices()[0]),
+        "steps": args.steps,
+        "batch_size": args.batch_size,
+        "lr_drop_k": args.lr_drop,
+        "positive_window_files": n_pos,
+        "hard_neg_window_files": n_hard,
+        "etl_wall_s": round(etl_s, 1),
+        "runs": runs,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result)[:2000])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
