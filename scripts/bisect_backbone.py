@@ -66,17 +66,19 @@ def main(argv=None) -> int:
     p.add_argument("--layer1", action="store_true",
                    help="micro-bench layer1 variants (channel padding)")
     args = p.parse_args(argv)
-    if args.layer1:
-        return layer1_variants(args)
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    if args.layer1:
+        return layer1_variants(args)
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from birdsoundclassif_tpu.config import NbmConfig
     from birdsoundclassif_tpu.models import nn as fnn
@@ -234,15 +236,26 @@ def layer1_variants(args) -> int:
     x_in = jnp.asarray(rng.standard_normal((B, h, w, 64)).astype(np.float32))
     p64, p128 = make_params(64), make_params(128)
 
-    # hbm probe: the stage's main-tensor traffic, ~(3 blocks x (read 256ch
-    # + write 256ch) + internals) ≈ 10 tensors of (B, h, w, 256) bf16
-    big = jnp.asarray(rng.standard_normal((10, B, h, w, 64)).astype(np.float32))
+    # hbm probe: one stage-sized 256-channel activation (B, h, w, 256) bf16
+    # (= 394 MB at B=32) pushed through a 20-iteration elementwise
+    # fori_loop. The tensor dwarfs VMEM, so every iteration is a full HBM
+    # read + write pass: 20 x 2 x 394 MB ≈ 15.8 GB of traffic with
+    # negligible compute — an HBM-bandwidth roofline measurable above the
+    # ~30 ms tunnel RTT. (An earlier ~1 GB jax.random buffer wedged the
+    # remote-compile tunnel; jnp.full compiles trivially.)
+    big = jax.jit(lambda: jnp.full((B, h, w, 256), 1.0, jnp.bfloat16))()
+    hbm_iters = 20
+    hbm_bytes = 2 * hbm_iters * big.size * 2
+
+    def hbm_probe():
+        y = jax.lax.fori_loop(0, hbm_iters, lambda i, y: y * 1.0001, big)
+        return jnp.sum(y.astype(jnp.float32))
 
     cases = {
         "natural_bf16": lambda: jnp.sum(apply(p64, x_in, jnp.bfloat16).astype(jnp.float32)),
         "padded128_bf16": lambda: jnp.sum(apply(p128, x_in, jnp.bfloat16).astype(jnp.float32)),
         "natural_f32": lambda: jnp.sum(apply(p64, x_in, jnp.float32)),
-        "hbm_probe": lambda: jnp.sum((big.astype(jnp.bfloat16) * 1.0001).astype(jnp.float32)),
+        "hbm_probe": hbm_probe,
     }
     import json
     meds = {}
@@ -266,9 +279,12 @@ def layer1_variants(args) -> int:
         ts.append((time.perf_counter() - t0) * 1000)
     rtt = float(np.median(ts))
     print(f"rtt {rtt:.1f} ms", flush=True)
-    print(json.dumps({"batch": B, "rtt_ms": round(rtt, 1),
-                      **{k: round(v - rtt, 2) for k, v in meds.items()}}),
-          flush=True)
+    out = {"batch": B, "rtt_ms": round(rtt, 1),
+           **{k: round(v - rtt, 2) for k, v in meds.items()}}
+    hbm_ms = meds["hbm_probe"] - rtt
+    if hbm_ms > 0.3:
+        out["hbm_gb_per_s"] = round(hbm_bytes / (hbm_ms * 1e-3) / 1e9, 1)
+    print(json.dumps(out), flush=True)
     return 0
 
 

@@ -109,6 +109,9 @@ def main(argv=None) -> int:
     p.add_argument("--work_dir", default="/tmp/nbm_hard")
     p.add_argument("--n_species", type=int, default=150,
                    help="truncate the bird_dict species list (smoke tests)")
+    p.add_argument("--test_every", type=int, default=3,
+                   help="write a test recording for every k-th species "
+                        "(bounds the every-500-step eval wall time)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--out", default="TRAINING_E2E_r3.json")
@@ -146,7 +149,8 @@ def main(argv=None) -> int:
         rng = np.random.default_rng(42)
         counts = write_hard_corpus(rec_dir, test_dir, neg_dir, rng, names,
                                    files_per_species=2, n_negative_files=24,
-                                   train_duration_s=15.0, calls_per_file=4)
+                                   train_duration_s=15.0, calls_per_file=4,
+                                   test_every=args.test_every)
         # a second, disjoint interference corpus becomes the hard_neg
         # augmentation pool (reference: image_dataset.py:64-101 mixes
         # hard-negative windows into the negative image)
@@ -174,11 +178,34 @@ def main(argv=None) -> int:
     save_root = os.path.join(work, "models")
     common = ["--lr_drop", str(args.lr_drop)]
     runs = {}
+
+    result = {
+        "what": "class-scale training demo: 150 bird_dict species with "
+                "overlapping-band morphology-coded signatures + interference "
+                "beds; real driver runs with the hard-negative cadence on vs "
+                "off; FP rate measured on interference-only recordings",
+        "device": str(jax.devices()[0]),
+        "steps": args.steps,
+        "batch_size": args.batch_size,
+        "test_every": args.test_every,
+        "lr_drop_k": args.lr_drop,
+        "positive_window_files": n_pos,
+        "hard_neg_window_files": n_hard,
+        "etl_wall_s": round(etl_s, 1),
+        "runs": runs,
+    }
+
+    def flush_partial():
+        # incremental dump so a killed session still leaves the artifact
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
     t = run_driver(data_dir, save_root, "hard_neg_on", args.steps,
                    args.batch_size, common)
     runs["neg_on"] = {"train_wall_s": round(t, 1),
                       "trajectory": trajectory(save_root, "hard_neg_on")}
     print(f"neg_on done in {t:.0f}s", flush=True)
+    flush_partial()
     if not args.skip_ablation:
         t = run_driver(data_dir, save_root, "hard_neg_off", args.steps,
                        args.batch_size,
@@ -186,6 +213,7 @@ def main(argv=None) -> int:
         runs["neg_off"] = {"train_wall_s": round(t, 1),
                            "trajectory": trajectory(save_root, "hard_neg_off")}
         print(f"neg_off done in {t:.0f}s", flush=True)
+        flush_partial()
 
     # FP ablation on the interference-only recordings
     from birdsoundclassif_tpu.eval.ap import evaluate_test_dir
@@ -199,23 +227,8 @@ def main(argv=None) -> int:
             params, cfg2, test_dir, min_score=0.02, bs=args.batch_size)
         print(f"{key}: fp={runs[key]['fp_on_interference']} "
               f"final={runs[key]['final_test']}", flush=True)
+        flush_partial()
 
-    result = {
-        "what": "class-scale training demo: 150 bird_dict species with "
-                "overlapping-band morphology-coded signatures + interference "
-                "beds; real driver runs with the hard-negative cadence on vs "
-                "off; FP rate measured on interference-only recordings",
-        "device": str(jax.devices()[0]),
-        "steps": args.steps,
-        "batch_size": args.batch_size,
-        "lr_drop_k": args.lr_drop,
-        "positive_window_files": n_pos,
-        "hard_neg_window_files": n_hard,
-        "etl_wall_s": round(etl_s, 1),
-        "runs": runs,
-    }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
     print(json.dumps(result)[:2000])
     return 0
 
