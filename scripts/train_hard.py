@@ -91,9 +91,15 @@ def run_driver(data_dir, save_root, name, steps, batch_size, extra=()):
 
 def trajectory(save_root, name):
     out = {}
-    with open(os.path.join(save_root, name, "metrics.jsonl")) as f:
+    path = os.path.join(save_root, name, "metrics.jsonl")
+    if not os.path.isfile(path):
+        return out
+    with open(path) as f:
         for line in f:
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:  # torn in-flight write
+                continue
             if rec["tag"].startswith("Test_metrics/"):
                 out.setdefault(rec["step"], {})[rec["tag"].split("/")[1]] = \
                     round(rec["value"], 4)
@@ -117,6 +123,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="TRAINING_E2E_r3.json")
     p.add_argument("--skip_ablation", action="store_true",
                    help="only run the neg_on model")
+    p.add_argument("--etl_only", action="store_true",
+                   help="build the corpus + dataset, then exit (lets the "
+                        "ETL run on the CPU backend while the chip is busy "
+                        "or down; the training invocation then skips it)")
     args = p.parse_args(argv)
 
     import jax
@@ -174,6 +184,8 @@ def main(argv=None) -> int:
                  os.walk(os.path.join(data_dir, "hard_neg")))
     print(f"ETL {etl_s:.0f}s: {n_pos} positive window files, "
           f"{n_hard} hard_neg windows", flush=True)
+    if args.etl_only:
+        return 0
 
     save_root = os.path.join(work, "models")
     common = ["--lr_drop", str(args.lr_drop)]
@@ -197,8 +209,30 @@ def main(argv=None) -> int:
 
     def flush_partial():
         # incremental dump so a killed session still leaves the artifact
-        with open(args.out, "w") as f:
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(result, f, indent=2)
+        os.replace(tmp, args.out)
+
+    # sidecar: while the (blocking) driver trains, refresh the artifact's
+    # trajectories from metrics.jsonl so a run killed at round end still
+    # leaves its mAP curve behind
+    import threading
+
+    stop_evt = threading.Event()
+
+    def _refresher():
+        while not stop_evt.wait(45.0):
+            for key, name in (("neg_on", "hard_neg_on"),
+                              ("neg_off", "hard_neg_off")):
+                traj = trajectory(save_root, name)
+                if traj:
+                    runs.setdefault(key, {})["trajectory"] = traj
+            if result.get("status") != "complete":
+                result["status"] = "in_progress"
+            flush_partial()
+
+    threading.Thread(target=_refresher, daemon=True).start()
 
     t = run_driver(data_dir, save_root, "hard_neg_on", args.steps,
                    args.batch_size, common)
@@ -229,6 +263,9 @@ def main(argv=None) -> int:
               f"final={runs[key]['final_test']}", flush=True)
         flush_partial()
 
+    stop_evt.set()
+    result["status"] = "complete"
+    flush_partial()
     print(json.dumps(result)[:2000])
     return 0
 
