@@ -235,6 +235,27 @@ def packed_to_class_dict(packed: np.ndarray, cfg) -> Dict[str, Dict[str, np.ndar
     return out
 
 
+def packed_to_species_dict(packed, cfg, reverse):
+    """Packed merge rows -> ({species_name: {bbox_coord, scores}}, dropped)
+    — the reference's final output schema (run_detection.py:70-77: only
+    classes with at least one surviving box appear, keyed by species name
+    from the reversed bird_dict). `dropped` is the merge-capacity loss
+    count (see packed_dropped_count). Shared by infer/sweep.py and
+    infer/serve.py."""
+    packed = np.asarray(packed)
+    dropped = packed_dropped_count(packed)
+    class_bbox = packed_to_class_dict(packed, cfg)
+    output: Dict[str, Dict[str, list]] = {}
+    for idx in range(1, cfg.num_classes + 1):
+        entry = class_bbox[str(idx)]
+        if len(entry["bbox_coord"]) > 0:
+            output[reverse[idx]] = {
+                "bbox_coord": entry["bbox_coord"].tolist(),
+                "scores": entry["scores"].tolist(),
+            }
+    return output, dropped
+
+
 # ---------------------------------------------------------------------------
 # cross-window merge (reference: merge_images, run_detection.py:163-249)
 # ---------------------------------------------------------------------------

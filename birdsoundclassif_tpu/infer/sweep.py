@@ -21,8 +21,6 @@ import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def sweep(
@@ -39,8 +37,7 @@ def sweep(
     from ..audio.frontend import SpectrogramFrontend
     from ..infer.pipeline import (
         load_bird_dict,
-        packed_dropped_count,
-        packed_to_class_dict,
+        packed_to_species_dict,
         stream_detections,
     )
     from ..parallel.mesh import make_mesh
@@ -74,18 +71,8 @@ def sweep(
     n_det = 0
     def emit(path, packed):
         nonlocal n_det
-        packed = np.asarray(packed)
-        dropped = packed_dropped_count(packed)
-        class_bbox = packed_to_class_dict(packed, cfg)
-        output = {}
-        for idx in range(1, cfg.num_classes + 1):
-            entry = class_bbox[str(idx)]
-            if len(entry["bbox_coord"]) > 0:
-                output[reverse[idx]] = {
-                    "bbox_coord": entry["bbox_coord"].tolist(),
-                    "scores": entry["scores"].tolist(),
-                }
-                n_det += len(entry["scores"])
+        output, dropped = packed_to_species_dict(packed, cfg, reverse)
+        n_det += sum(len(e["scores"]) for e in output.values())
         if writer:
             rec = {"file": path, "detections": output}
             if dropped:
