@@ -40,6 +40,41 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     cfg = NbmConfig()
+
+    # Watchdog: the axon backend has been observed to hang indefinitely at
+    # init when the tunnel is down ("UNAVAILABLE: TPU backend setup/compile
+    # error"), inside a C call SIGALRM cannot preempt. Probe backend
+    # bring-up in a subprocess with a hard timeout and emit the one
+    # mandated JSON line with value 0 and an error detail instead of
+    # wedging the caller.
+    import subprocess
+    import sys
+
+    init_timeout = int(os.environ.get("BENCH_INIT_TIMEOUT_S", "1800"))
+
+    def _fail(msg):
+        print(json.dumps({
+            "metric": "inference_audio_hours_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "audio-hours/sec/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"TPU backend unavailable: {msg}"},
+        }))
+
+    probe_code = ("import jax; x = jax.numpy.ones((64, 64)); "
+                  "print('BENCH_PROBE_OK', float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe_code],
+                           capture_output=True, text=True,
+                           timeout=init_timeout)
+    except subprocess.TimeoutExpired:
+        _fail(f"backend init probe exceeded {init_timeout}s")
+        return
+    if r.returncode != 0 or "BENCH_PROBE_OK" not in r.stdout:
+        tail = (r.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+        _fail(tail[:300])
+        return
+
     # jitted init: one compiled program instead of hundreds of eager
     # dispatches (each costs a full link RTT through the axon tunnel)
     params = jax.jit(
