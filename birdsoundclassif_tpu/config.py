@@ -189,6 +189,15 @@ class NbmConfig:
     # ---- TPU-native additions (not in the reference) ----
     compute_dtype: str = "bfloat16"   # backbone/FPN/attn matmul dtype
     param_dtype: str = "float32"
+    batch_transfer_dtype: str = "float32"
+                                      # dtype the training batch images are
+                                      # shipped to the device in. "bfloat16"
+                                      # halves the H2D bytes/step (the link is
+                                      # the bottleneck behind the dev tunnel)
+                                      # and is bitwise-identical compute when
+                                      # compute_dtype is bfloat16: the model's
+                                      # first op casts samples there anyway
+                                      # (models/detector.py forward_first_stage)
     max_gt_boxes: int = 48            # fixed-shape padding of GT boxes
     merge_nms_max_boxes: int = 8192   # cap for the cross-window merge NMS
     remat_backbone: bool = False      # jax.checkpoint the backbone in training

@@ -14,6 +14,7 @@ import argparse
 import dataclasses
 import json
 import os
+import time
 from typing import Optional
 
 import jax
@@ -27,6 +28,23 @@ from ..utils.checkpoint import (
     save_opt_state,
     save_params,
 )
+
+
+def _make_batch_caster(cfg):
+    """Down-casts the batch's spectrogram images for the host->device
+    transfer (cfg.batch_transfer_dtype). The model's first op casts samples
+    to cfg.compute_dtype on device, so with both set to bfloat16 the compute
+    is bitwise-identical to the float32 transfer for half the link bytes.
+    GT boxes/labels/masks are tiny and stay untouched."""
+    if cfg.batch_transfer_dtype == "float32":
+        return lambda b: b
+    dt = np.dtype(getattr(jax.numpy, cfg.batch_transfer_dtype))
+
+    def cast(b):
+        return {k: (v.astype(dt) if k in ("img", "neg_img") else v)
+                for k, v in b.items()}
+
+    return cast
 
 
 def _str2bool(s: str) -> bool:
@@ -101,8 +119,10 @@ class MetricsWriter:
     def add_scalar(self, tag: str, value: float, global_step: int) -> None:
         if self.tb is not None:
             self.tb.add_scalar(tag, value, global_step=global_step)
+        # ts lets post-hoc tooling derive steps/sec straight from the run
         self.jsonl.write(json.dumps({"tag": tag, "value": float(value),
-                                     "step": int(global_step)}) + "\n")
+                                     "step": int(global_step),
+                                     "ts": round(time.time(), 3)}) + "\n")
         self.jsonl.flush()
 
 
@@ -216,7 +236,8 @@ def main(argv=None) -> int:
         )
 
     mesh = None
-    shard_batch = lambda b: b  # noqa: E731
+    cast_batch = _make_batch_caster(cfg)
+    shard_batch = cast_batch
     n_mesh = args.data_parallel * args.model_parallel
     if n_mesh > 1:
         from ..parallel.tp import make_mesh_2d, shard_batch_2d, shard_tree
@@ -232,7 +253,7 @@ def main(argv=None) -> int:
                 f"batch_size {cfg.batch_size} not divisible by "
                 f"data_parallel {args.data_parallel}")
         mesh = make_mesh_2d(devices[:n_mesh], args.model_parallel)
-        shard_batch = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
+        shard_batch = lambda b: shard_batch_2d(cast_batch(b), mesh)  # noqa: E731
         state = shard_tree(state, mesh)
         if is_main_process():
             print(f"mesh: {args.data_parallel} data x {args.model_parallel} "
@@ -264,6 +285,29 @@ def main(argv=None) -> int:
     save_steps = {180_000, 190_000, 200_000}
     steps = int(state.step)
 
+    # Loss readback is deferred by one step: reading a loss scalar back is a
+    # host<->device sync (through the dev tunnel each one costs a full RTT,
+    # and the sync serializes the next batch's host prep + H2D behind the
+    # device compute). The step dispatches asynchronously; its losses are
+    # stacked into ONE device array (one transfer, not one per key) and
+    # fetched while the NEXT step already runs. Cadence semantics are
+    # preserved exactly: each step's losses are accumulated/flushed under its
+    # own step index by _drain.
+    pending = None  # (step_idx, names, stacked device losses)
+
+    def _drain(p):
+        if p is None:
+            return
+        s_idx, names, vec = p
+        for k, v in zip(names, np.asarray(jax.device_get(vec))):
+            if k in running:
+                running[k] += float(v)
+        if s_idx % 50 == 0:
+            for k in loss_keys:
+                freq = 50 / cfg.neg_step_freq if "neg" in k else 50
+                writer.add_scalar(f"Training_Loss/{k}", running[k] / freq, s_idx)
+                running[k] = 0.0
+
     if is_main_process():
         print("Start training")
     while steps < cfg.max_steps:
@@ -274,14 +318,10 @@ def main(argv=None) -> int:
             # run draws the same per-step randomness as a continuous one
             sub = jax.random.fold_in(key, steps)
             state, losses = train_step(state, batch, sub, negative_sample=neg)
-            for k, v in losses.items():
-                if k in running:
-                    running[k] += float(v)
-            if steps % 50 == 0:
-                for k in loss_keys:
-                    freq = 50 / cfg.neg_step_freq if "neg" in k else 50
-                    writer.add_scalar(f"Training_Loss/{k}", running[k] / freq, steps)
-                    running[k] = 0.0
+            _drain(pending)
+            names = list(losses)
+            pending = (steps, names,
+                       jax.numpy.stack([losses[n] for n in names]))
             if steps in save_steps:
                 save_checkpoint(save_dir, str(steps), state, epoch,
                                 best_val_cls_loss, train_indices, val_indices,
@@ -294,6 +334,10 @@ def main(argv=None) -> int:
                     "Lr", float(make_lr_schedule(cfg.lr, cfg.lr_drop)(steps)), steps
                 )
             if steps % 500 == 0:
+                # flush the deferred losses so the validation scalars land
+                # after this step's training scalars in the metrics stream
+                _drain(pending)
+                pending = None
                 val_cls = _validate(cfg, state, eval_step, val_loader, writer,
                                     steps, key, shard_batch=shard_batch)
                 if val_cls is not None and steps / 1000 > cfg.lr_drop and \
@@ -320,6 +364,7 @@ def main(argv=None) -> int:
             save_checkpoint(save_dir, "last", state, epoch, best_val_cls_loss,
                             train_indices, val_indices, full=True, cfg=cfg)
         epoch += 1
+    _drain(pending)
     save_checkpoint(save_dir, "last", state, epoch, best_val_cls_loss,
                     train_indices, val_indices, full=True, cfg=cfg)
     return 0

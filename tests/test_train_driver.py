@@ -270,3 +270,58 @@ def test_driver_distributed_flag(dataset_dir, tmp_path):
     mdir = save_root / "itest"
     with open(mdir / "ckpt_last" / "meta.json") as f:
         assert json.load(f)["steps"] == 2
+
+
+def test_bf16_batch_transfer_matches_f32(rng):
+    """cfg.batch_transfer_dtype="bfloat16" halves the H2D bytes per step; the
+    model's first op casts samples to compute_dtype ("bfloat16") on device
+    with the same round-to-nearest-even the host-side astype uses, so the
+    whole step must be numerically identical to shipping float32."""
+    import jax
+
+    from birdsoundclassif_tpu.config import NbmConfig
+    from birdsoundclassif_tpu.train.driver import _make_batch_caster
+    from birdsoundclassif_tpu.train.loop import create_train_state, make_train_step
+
+    cfg = NbmConfig()
+    cfg.num_classes = 3
+    cfg.out_fpn_chan = 16
+    cfg.fpn_p_chan = 24
+    cfg.depth_rcnn = 1
+    cfg.img_height, cfg.img_width = 128, 256
+    cfg.pre_nms_topN = 256
+    cfg.post_nms_topN = 64
+    cfg.max_gt_boxes = 2
+    cfg.compute_dtype = "bfloat16"
+
+    b = 2
+    img = rng.random((b, 128, 256)).astype(np.float32) * 0.2
+    img[:, 40:80, 60:140] += 0.7
+    batch = {
+        "img": img,
+        "neg_img": rng.random((b, 128, 256)).astype(np.float32) * 0.2,
+        "gt_boxes": np.tile(np.array([[60.0, 40.0, 139.0, 79.0]], np.float32),
+                            (b, 2, 1)),
+        "gt_valid": np.tile([True, False], (b, 1)),
+        "gt_labels": np.tile([2, 0], (b, 1)).astype(np.int32),
+    }
+
+    # identity caster for the default; real cast for bfloat16
+    assert _make_batch_caster(cfg)(batch) is batch
+    cfg.batch_transfer_dtype = "bfloat16"
+    cast = _make_batch_caster(cfg)
+    cb = cast(batch)
+    assert cb["img"].dtype == jax.numpy.bfloat16
+    assert cb["gt_boxes"].dtype == np.float32  # geometry stays f32
+
+    key = jax.random.PRNGKey(0)
+    sub = jax.random.PRNGKey(7)
+    _, tx = create_train_state(key, cfg)
+    train_step, _ = make_train_step(cfg, tx)
+    # two fresh states (train_step donates its input state)
+    state_a, _ = create_train_state(key, cfg)
+    state_b, _ = create_train_state(key, cfg)
+    _, losses_f32 = train_step(state_a, batch, sub, negative_sample=False)
+    _, losses_bf16 = train_step(state_b, cb, sub, negative_sample=False)
+    for k in losses_f32:
+        assert float(losses_f32[k]) == float(losses_bf16[k]), k
