@@ -14,7 +14,15 @@ then measures the false-positive rate of both final checkpoints on
 annotation-free interference-only recordings, and writes
 TRAINING_E2E_r3.json with the mAP trajectories + the ablation.
 
-Usage: python scripts/train_hard.py [--steps 12000] [--work_dir /tmp/nbm_hard]
+Outage resilience: the axon TPU backend has a history of multi-hour
+outages mid-round ("UNAVAILABLE: TPU backend setup/compile error", or a
+PJRT-client-init hang no signal can preempt). Every device-touching phase
+therefore runs in a SUBPROCESS — the orchestrating parent never initializes
+a backend — and each phase is retried after re-probing the chip: the driver
+auto-resumes from ckpt_last (saved every 10 epochs), so a crash mid-run
+costs at most ~10 epochs of recompute.
+
+Usage: python scripts/train_hard.py [--steps 10000] [--work_dir /tmp/nbm_hard]
        [--skip_ablation] [--batch_size 16]
 """
 
@@ -23,10 +31,96 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _log(msg):
+    print(f"[train_hard {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _env():
+    env = os.environ.copy()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _bootstrap_code(cpu: bool) -> str:
+    """Python -c prelude for subprocesses: compile cache + optional CPU
+    forcing (the axon plugin overrides JAX_PLATFORMS, so CPU must be forced
+    through jax.config — see CLAUDE.md)."""
+    cache = os.path.join(REPO, ".jax_cache")
+    lines = [
+        "import jax",
+        f"jax.config.update('jax_compilation_cache_dir', {cache!r})",
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)",
+    ]
+    if cpu:
+        lines.insert(1, "jax.config.update('jax_platforms', 'cpu')")
+    return "; ".join(lines)
+
+
+def probe_chip(cpu: bool, timeout: int = 300):
+    """One matmul on the session backend in a subprocess (a wedged PJRT
+    init cannot be interrupted in-process). Returns the device string, or
+    None when the backend is down/hanging."""
+    code = (_bootstrap_code(cpu) +
+            "; x = jax.numpy.ones((128, 128))"
+            "; print('PROBE_OK', float((x @ x).sum()), jax.devices()[0])")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout, env=_env())
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return r.stdout.split("PROBE_OK", 1)[1].split(maxsplit=1)[1].strip()
+    return None
+
+
+def wait_for_chip(cpu: bool, poll_s: float = 45.0):
+    while True:
+        dev = probe_chip(cpu)
+        if dev is not None:
+            return dev
+        _log("backend down; re-probing")
+        time.sleep(poll_s)
+
+
+def run_phase(cmd_tail: str, flags, cpu: bool, what: str, max_attempts: int = 12):
+    """Run `python -c '<bootstrap>; <cmd_tail>' -- *flags` until it exits 0,
+    re-probing the chip between attempts. Returns (wall_s_in_phase, attempts).
+    Child stdout/stderr are inherited (stream into the harness log)."""
+    cmd = [sys.executable, "-c", _bootstrap_code(cpu) + "; " + cmd_tail, *flags]
+    spent, attempt = 0.0, 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        rc = subprocess.call(cmd, cwd=REPO, env=_env())
+        spent += time.time() - t0
+        if rc == 0:
+            return spent, attempt
+        _log(f"{what}: attempt {attempt} exited rc={rc}")
+        if attempt >= max_attempts:
+            raise RuntimeError(f"{what} failed after {max_attempts} attempts")
+        wait_for_chip(cpu)
+
+
+def run_driver(data_dir, save_root, name, steps, batch_size, cpu, extra=()):
+    flags = [
+        "--data_path", data_dir,
+        "--save_dir", save_root,
+        "--model_name", name,
+        "--batch_size", str(batch_size),
+        "--max_steps", str(steps),
+        *extra,
+    ]
+    tail = ("import sys; from birdsoundclassif_tpu.train import driver; "
+            "sys.exit(driver.main(sys.argv[1:]))")
+    return run_phase(tail, flags, cpu, f"driver[{name}]")
 
 
 def fp_rate(params, cfg, neg_dir, min_score=0.02, bs=16):
@@ -72,21 +166,42 @@ def fp_rate(params, cfg, neg_dir, min_score=0.02, bs=16):
     }
 
 
-def run_driver(data_dir, save_root, name, steps, batch_size, extra=()):
-    from birdsoundclassif_tpu.train import driver
+def eval_main(args) -> int:
+    """--eval_only worker (runs in a subprocess): FP rate on the
+    interference recordings + final test AP for every finished run."""
+    from birdsoundclassif_tpu.eval.ap import evaluate_test_dir
+    from birdsoundclassif_tpu.infer.pipeline import load_model
 
-    flags = [
-        "--data_path", data_dir,
-        "--save_dir", save_root,
-        "--model_name", name,
-        "--batch_size", str(batch_size),
-        "--max_steps", str(steps),
-        *extra,
-    ]
-    t0 = time.time()
-    rc = driver.main(flags)
-    assert rc == 0
-    return time.time() - t0
+    work = os.path.abspath(args.work_dir)
+    save_root = os.path.join(work, "models")
+    neg_dir = os.path.join(work, "neg_eval")
+    test_dir = os.path.join(work, "dataset", "test_files", "XC_annots")
+    # resume-aware: keep results from a previous (killed/retried) eval pass
+    out = {}
+    if os.path.isfile(args.eval_out):
+        try:
+            with open(args.eval_out) as f:
+                out = json.load(f)
+        except json.JSONDecodeError:
+            out = {}
+    for key, name in (("neg_on", "hard_neg_on"), ("neg_off", "hard_neg_off")):
+        ckpt = os.path.join(save_root, name, "ckpt_last")
+        if key in out or not os.path.isdir(ckpt):
+            continue
+        params, cfg = load_model(ckpt)
+        out[key] = {
+            "fp_on_interference": fp_rate(params, cfg, neg_dir,
+                                          bs=args.batch_size),
+            "final_test": evaluate_test_dir(params, cfg, test_dir,
+                                            min_score=0.02,
+                                            bs=args.batch_size),
+        }
+        _log(f"eval {key}: {out[key]}")
+        tmp = args.eval_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, args.eval_out)
+    return 0
 
 
 def trajectory(save_root, name):
@@ -108,7 +223,7 @@ def trajectory(save_root, name):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=12000)
+    p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr_drop", type=int, default=8,
                    help="LR /10 after this many thousand steps")
@@ -120,6 +235,12 @@ def main(argv=None) -> int:
                         "(bounds the every-500-step eval wall time)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--batch_transfer_dtype", default="bfloat16",
+                   help="H2D dtype for the batch images; bfloat16 halves the "
+                        "link bytes/step and is numerically identical (the "
+                        "model computes in bfloat16 anyway — see "
+                        "tests/test_train_driver.py::"
+                        "test_bf16_batch_transfer_matches_f32)")
     p.add_argument("--out", default="TRAINING_E2E_r3.json")
     p.add_argument("--skip_ablation", action="store_true",
                    help="only run the neg_on model")
@@ -127,17 +248,25 @@ def main(argv=None) -> int:
                    help="build the corpus + dataset, then exit (lets the "
                         "ETL run on the CPU backend while the chip is busy "
                         "or down; the training invocation then skips it)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="(internal) subprocess worker: run the FP/AP evals "
+                        "for finished checkpoints and write --eval_out")
+    p.add_argument("--eval_out", default=None,
+                   help="eval worker's result file (default: "
+                        "<work_dir>/eval_results.json)")
     args = p.parse_args(argv)
+    if args.eval_out is None:
+        args.eval_out = os.path.join(os.path.abspath(args.work_dir),
+                                     "eval_results.json")
 
-    import jax
+    if args.eval_only:
+        # worker mode: the parent already bootstrapped jax.config via -c;
+        # when invoked by hand, bootstrap here
+        import jax
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        return eval_main(args)
 
     import numpy as np
 
@@ -156,6 +285,12 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if not os.path.isdir(os.path.join(data_dir, "positive_files")):
+        # ETL is host-side numpy/PNG work but prepare_dataset jits the
+        # STFT on the session backend; force CPU for this phase if asked
+        if args.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         rng = np.random.default_rng(42)
         counts = write_hard_corpus(rec_dir, test_dir, neg_dir, rng, names,
                                    files_per_species=2, n_negative_files=24,
@@ -188,15 +323,20 @@ def main(argv=None) -> int:
         return 0
 
     save_root = os.path.join(work, "models")
-    common = ["--lr_drop", str(args.lr_drop)]
+    common = ["--lr_drop", str(args.lr_drop),
+              "--batch_transfer_dtype", args.batch_transfer_dtype]
     runs = {}
+
+    _log("waiting for a live backend before the first driver launch")
+    device = wait_for_chip(args.cpu)
+    _log(f"backend up: {device}")
 
     result = {
         "what": "class-scale training demo: 150 bird_dict species with "
                 "overlapping-band morphology-coded signatures + interference "
                 "beds; real driver runs with the hard-negative cadence on vs "
                 "off; FP rate measured on interference-only recordings",
-        "device": str(jax.devices()[0]),
+        "device": device,
         "steps": args.steps,
         "batch_size": args.batch_size,
         "test_every": args.test_every,
@@ -234,34 +374,37 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_refresher, daemon=True).start()
 
-    t = run_driver(data_dir, save_root, "hard_neg_on", args.steps,
-                   args.batch_size, common)
-    runs["neg_on"] = {"train_wall_s": round(t, 1),
+    t, attempts = run_driver(data_dir, save_root, "hard_neg_on", args.steps,
+                             args.batch_size, args.cpu, common)
+    runs["neg_on"] = {"train_wall_s": round(t, 1), "attempts": attempts,
                       "trajectory": trajectory(save_root, "hard_neg_on")}
-    print(f"neg_on done in {t:.0f}s", flush=True)
+    print(f"neg_on done in {t:.0f}s ({attempts} attempt(s))", flush=True)
     flush_partial()
     if not args.skip_ablation:
-        t = run_driver(data_dir, save_root, "hard_neg_off", args.steps,
-                       args.batch_size,
-                       common + ["--first_neg_step", str(10 * args.steps)])
-        runs["neg_off"] = {"train_wall_s": round(t, 1),
+        t, attempts = run_driver(
+            data_dir, save_root, "hard_neg_off", args.steps,
+            args.batch_size, args.cpu,
+            common + ["--first_neg_step", str(10 * args.steps)])
+        runs["neg_off"] = {"train_wall_s": round(t, 1), "attempts": attempts,
                            "trajectory": trajectory(save_root, "hard_neg_off")}
-        print(f"neg_off done in {t:.0f}s", flush=True)
+        print(f"neg_off done in {t:.0f}s ({attempts} attempt(s))", flush=True)
         flush_partial()
 
-    # FP ablation on the interference-only recordings
-    from birdsoundclassif_tpu.eval.ap import evaluate_test_dir
-    from birdsoundclassif_tpu.infer.pipeline import load_model
-
-    for key in list(runs):
-        name = "hard_neg_on" if key == "neg_on" else "hard_neg_off"
-        params, cfg2 = load_model(os.path.join(save_root, name, "ckpt_last"))
-        runs[key]["fp_on_interference"] = fp_rate(params, cfg2, neg_dir)
-        runs[key]["final_test"] = evaluate_test_dir(
-            params, cfg2, test_dir, min_score=0.02, bs=args.batch_size)
-        print(f"{key}: fp={runs[key]['fp_on_interference']} "
-              f"final={runs[key]['final_test']}", flush=True)
-        flush_partial()
+    # FP ablation on the interference-only recordings (device-touching ->
+    # retryable subprocess like the driver runs)
+    eval_flags = ["--eval_only", "--work_dir", work,
+                  "--batch_size", str(args.batch_size),
+                  "--eval_out", args.eval_out]
+    if args.cpu:
+        eval_flags.append("--cpu")
+    tail = ("import sys, runpy; sys.argv = ['train_hard.py'] + sys.argv[1:]; "
+            f"runpy.run_path({os.path.abspath(__file__)!r}, "
+            "run_name='__main__')")
+    run_phase(tail, eval_flags, args.cpu, "eval", max_attempts=6)
+    with open(args.eval_out) as f:
+        for key, payload in json.load(f).items():
+            runs.setdefault(key, {}).update(payload)
+    flush_partial()
 
     stop_evt.set()
     result["status"] = "complete"
