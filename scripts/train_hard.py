@@ -248,6 +248,9 @@ def main(argv=None) -> int:
                    help="build the corpus + dataset, then exit (lets the "
                         "ETL run on the CPU backend while the chip is busy "
                         "or down; the training invocation then skips it)")
+    p.add_argument("--driver_args", default="",
+                   help="extra flags passed through to every driver run, "
+                        "e.g. --driver_args '--grad_accum_steps 2'")
     p.add_argument("--eval_only", action="store_true",
                    help="(internal) subprocess worker: run the FP/AP evals "
                         "for finished checkpoints and write --eval_out")
@@ -323,8 +326,11 @@ def main(argv=None) -> int:
         return 0
 
     save_root = os.path.join(work, "models")
+    import shlex
+
     common = ["--lr_drop", str(args.lr_drop),
-              "--batch_transfer_dtype", args.batch_transfer_dtype]
+              "--batch_transfer_dtype", args.batch_transfer_dtype,
+              *shlex.split(args.driver_args)]
     runs = {}
 
     _log("waiting for a live backend before the first driver launch")
