@@ -236,20 +236,26 @@ def layer1_variants(args) -> int:
     x_in = jnp.asarray(rng.standard_normal((B, h, w, 64)).astype(np.float32))
     p64, p128 = make_params(64), make_params(128)
 
-    # hbm probe: one stage-sized 256-channel activation (B, h, w, 256) bf16
-    # (= 394 MB at B=32) pushed through a 20-iteration elementwise
-    # fori_loop. The tensor dwarfs VMEM, so every iteration is a full HBM
-    # read + write pass: 20 x 2 x 394 MB ≈ 15.8 GB of traffic with
-    # negligible compute — an HBM-bandwidth roofline measurable above the
-    # ~30 ms tunnel RTT. (An earlier ~1 GB jax.random buffer wedged the
-    # remote-compile tunnel; jnp.full compiles trivially.)
-    big = jax.jit(lambda: jnp.full((B, h, w, 256), 1.0, jnp.bfloat16))()
-    hbm_iters = 20
-    hbm_bytes = 2 * hbm_iters * big.size * 2
+    # hbm probe: a pure read-bandwidth roofline. The buffer is 8 stage-sized
+    # 256-channel activations (8, B, h, w, 256) bf16 ≈ 3.15 GB at B=32 —
+    # far beyond VMEM, so the sum is one full HBM read with negligible
+    # compute, measurable above the ~25-30 ms tunnel RTT.
+    # It MUST be a jit *argument*: an argument-free jit whose operands are
+    # all constants gets constant-folded by XLA at compile time (a first
+    # version using a captured buffer + fori_loop of `y * 1.0001` measured
+    # exactly the RTT — and `* 1.0001` is the identity in bf16 anyway,
+    # bf16 eps ≈ 0.0039).
+    big = jax.jit(lambda: jnp.full((8, B, h, w, 256), 1.0, jnp.bfloat16))()
+    hbm_iters = 5
+    hbm_bytes = hbm_iters * big.size * 2
 
-    def hbm_probe():
-        y = jax.lax.fori_loop(0, hbm_iters, lambda i, y: y * 1.0001, big)
-        return jnp.sum(y.astype(jnp.float32))
+    def hbm_probe(y):
+        # each iteration multiplies by the loop counter, so the body is NOT
+        # loop-invariant and every iteration re-reads the full 3.15 GB from
+        # HBM (it cannot fit in VMEM): ~15.8 GB of read traffic
+        def body(i, s):
+            return s + jnp.sum(y.astype(jnp.float32) * i.astype(jnp.float32))
+        return jax.lax.fori_loop(0, hbm_iters, body, jnp.float32(0.0))
 
     cases = {
         "natural_bf16": lambda: jnp.sum(apply(p64, x_in, jnp.bfloat16).astype(jnp.float32)),
@@ -258,32 +264,36 @@ def layer1_variants(args) -> int:
         "hbm_probe": hbm_probe,
     }
     import json
-    meds = {}
-    for name, fn in cases.items():
-        jf = jax.jit(fn)
-        float(jf())
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            float(jf())
-            ts.append((time.perf_counter() - t0) * 1000)
-        meds[name] = float(np.median(ts))
-        print(f"{name:16s} {meds[name]:8.1f} ms", flush=True)
-    # rtt
+
+    # tunnel weather drifts several ms over a run (observed: the RTT probe
+    # medianed 24.4 then 28.9 ms in back-to-back runs while the raw case
+    # times moved <0.4 ms) — so the RTT probe is interleaved per-rep and
+    # each rep records the *delta*, cancelling slow drift
     probe = jax.jit(lambda: jnp.float32(1.0) + 1.0)
     float(probe())
-    ts = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        float(probe())
-        ts.append((time.perf_counter() - t0) * 1000)
-    rtt = float(np.median(ts))
+    meds, rtts = {}, []
+    for name, fn in cases.items():
+        jf = jax.jit(fn)
+        fn_args = (big,) if name == "hbm_probe" else ()
+        float(jf(*fn_args))
+        deltas = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(probe())
+            t1 = time.perf_counter()
+            float(jf(*fn_args))
+            t2 = time.perf_counter()
+            rtts.append((t1 - t0) * 1000)
+            deltas.append((t2 - t1) * 1000 - (t1 - t0) * 1000)
+        meds[name] = float(np.median(deltas))
+        print(f"{name:16s} {meds[name]:8.1f} ms (-interleaved rtt)", flush=True)
+    rtt = float(np.median(rtts))
     print(f"rtt {rtt:.1f} ms", flush=True)
     out = {"batch": B, "rtt_ms": round(rtt, 1),
-           **{k: round(v - rtt, 2) for k, v in meds.items()}}
-    hbm_ms = meds["hbm_probe"] - rtt
+           **{k: round(v, 2) for k, v in meds.items()}}
+    hbm_ms = meds["hbm_probe"]
     if hbm_ms > 0.3:
-        out["hbm_gb_per_s"] = round(hbm_bytes / (hbm_ms * 1e-3) / 1e9, 1)
+        out["hbm_read_gb_per_s"] = round(hbm_bytes / (hbm_ms * 1e-3) / 1e9, 1)
     print(json.dumps(out), flush=True)
     return 0
 
