@@ -12,6 +12,7 @@ BatchNorm scales; biases use torch's default uniform(-1/sqrt(fan_in)).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -135,26 +136,23 @@ class depthwise_taps_mode:
         _TAPS_MODE[0] = self._prev
 
 
-def _depthwise_taps(w: jnp.ndarray, x: jnp.ndarray, stride, padding) -> jnp.ndarray:
-    """Depthwise conv as kh*kw strided-slice multiply-adds.
+def _taps_padded_input(x: jnp.ndarray, m: int, padding) -> jnp.ndarray:
+    ph, pw = padding
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    if m > 1:
+        xp = jnp.repeat(xp, m, axis=3)  # channel pattern matches o // m
+    return xp
 
-    TPU grouped convs are slow on the forward pass and their gradient
-    lowers to a pathological im2col buffer (a bogus 50 GB allocation was
-    observed for a stride-8 depthwise conv at 188x512). Depthwise convs are
-    VPU-bound, so explicit taps are both faster and autodiff-clean.
 
-    w: (kh, kw, 1, C*m) with torch group layout (out o reads in o // m).
-    """
+def _taps_forward(w: jnp.ndarray, x: jnp.ndarray, stride, padding) -> jnp.ndarray:
     kh, kw = w.shape[0], w.shape[1]
     b, h, wi, c = x.shape
     m = w.shape[3] // c
     sh, sw = stride
     ph, pw = padding
-    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    xp = _taps_padded_input(x, m, padding)
     h_out = (h + 2 * ph - kh) // sh + 1
     w_out = (wi + 2 * pw - kw) // sw + 1
-    if m > 1:
-        xp = jnp.repeat(xp, m, axis=3)  # channel pattern matches o // m
     acc = None
     for dy in range(kh):
         for dx in range(kw):
@@ -167,6 +165,86 @@ def _depthwise_taps(w: jnp.ndarray, x: jnp.ndarray, stride, padding) -> jnp.ndar
             term = sl * w[dy, dx, 0]
             acc = term if acc is None else acc + term
     return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _depthwise_taps(w: jnp.ndarray, x: jnp.ndarray, stride, padding) -> jnp.ndarray:
+    """Depthwise conv as kh*kw strided-slice multiply-adds.
+
+    TPU grouped convs are slow on the forward pass and their gradient
+    lowers to a pathological im2col buffer (a bogus 50 GB allocation was
+    observed for a stride-8 depthwise conv at 188x512). Depthwise convs are
+    VPU-bound, so explicit taps are both faster and autodiff-clean.
+
+    Custom VJP: the autodiff backward of each strided slice is a full-size
+    interior-padded `pad` of the cotangent, and XLA keeps all kh*kw of them
+    live before the add tree (9 x 1.49 GB for the RPN level-0 stride-8 conv
+    at B=16 — an HBM OOM on v5e). The hand-written backward dilates the
+    cotangent ONCE and then runs stride-1 taps with the flipped kernel, so
+    peak extra memory is one buffer instead of kh*kw.
+
+    w: (kh, kw, 1, C*m) with torch group layout (out o reads in o // m).
+    """
+    return _taps_forward(w, x, stride, padding)
+
+
+def _taps_fwd(w, x, stride, padding):
+    return _taps_forward(w, x, stride, padding), (w, x)
+
+
+def _taps_bwd(stride, padding, res, ct):
+    w, x = res
+    kh, kw = w.shape[0], w.shape[1]
+    b, h, wi, c = x.shape
+    cm = w.shape[3]
+    m = cm // c
+    sh, sw = stride
+    ph, pw = padding
+    h_out, w_out = ct.shape[1], ct.shape[2]
+    hp, wp = h + 2 * ph, wi + 2 * pw
+
+    # dw[dy,dx] = sum_{b,i,j} xp[dy+sh*i, dx+sw*j] * ct[i,j] — recompute the
+    # forward slices (pad + repeat fuse into the per-tap reduces; f32
+    # accumulation, cast back to the param dtype).
+    xp = _taps_padded_input(x, m, padding)
+    rows = []
+    for dy in range(kh):
+        row = []
+        for dx in range(kw):
+            sl = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (b, dy + (h_out - 1) * sh + 1, dx + (w_out - 1) * sw + 1, cm),
+                (1, sh, sw, 1),
+            )
+            row.append(jnp.sum(sl * ct, axis=(0, 1, 2), dtype=jnp.float32))
+        rows.append(jnp.stack(row))
+    dw = jnp.stack(rows)[:, :, None, :].astype(w.dtype)
+
+    # dxp[p,q] = sum_{dy,dx} w[dy,dx] * ct[(p-dy)/sh, (q-dx)/sw] (where the
+    # division is exact): dilate ct onto the stride grid with lo-padding
+    # kh-1/kw-1 and hi-padding up to the padded-input extent, then stride-1
+    # taps against the FLIPPED kernel. One interior-pad buffer total.
+    hd = (h_out - 1) * sh + 1
+    wd = (w_out - 1) * sw + 1
+    ctd = jax.lax.pad(
+        ct,
+        jnp.zeros((), ct.dtype),
+        ((0, 0, 0), (kh - 1, hp - hd, sh - 1), (kw - 1, wp - wd, sw - 1), (0, 0, 0)),
+    )
+    dxp = None
+    for ey in range(kh):
+        for ex in range(kw):
+            sl = jax.lax.slice(ctd, (0, ey, ex, 0), (b, ey + hp, ex + wp, cm))
+            term = sl * w[kh - 1 - ey, kw - 1 - ex, 0]
+            dxp = term if dxp is None else dxp + term
+    dx = dxp[:, ph : ph + h, pw : pw + wi, :]
+    if m > 1:
+        dx = dx.reshape(b, h, wi, c, m).sum(axis=4)
+    return dw, dx.astype(x.dtype)
+
+
+_depthwise_taps.defvjp(_taps_fwd, _taps_bwd)
 
 
 # ---------------------------------------------------------------------------

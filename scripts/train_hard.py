@@ -90,12 +90,19 @@ def wait_for_chip(cpu: bool, poll_s: float = 45.0):
         time.sleep(poll_s)
 
 
-def run_phase(cmd_tail: str, flags, cpu: bool, what: str, max_attempts: int = 12):
+def run_phase(cmd_tail: str, flags, cpu: bool, what: str, max_attempts: int = 12,
+              max_hard_failures: int = 2):
     """Run `python -c '<bootstrap>; <cmd_tail>' -- *flags` until it exits 0,
     re-probing the chip between attempts. Returns (wall_s_in_phase, attempts).
-    Child stdout/stderr are inherited (stream into the harness log)."""
+    Child stdout/stderr are inherited (stream into the harness log).
+
+    Outage vs deterministic failure: a failed attempt is only worth retrying
+    when the backend itself is down (probe fails right after the exit). If
+    the chip answers the probe immediately, the failure is the program's own
+    (e.g. a compile-time HBM OOM) and will recur identically — those count
+    against `max_hard_failures` so a 12x retry loop can't mask a real bug."""
     cmd = [sys.executable, "-c", _bootstrap_code(cpu) + "; " + cmd_tail, *flags]
-    spent, attempt = 0.0, 0
+    spent, attempt, hard = 0.0, 0, 0
     while True:
         attempt += 1
         t0 = time.time()
@@ -106,7 +113,16 @@ def run_phase(cmd_tail: str, flags, cpu: bool, what: str, max_attempts: int = 12
         _log(f"{what}: attempt {attempt} exited rc={rc}")
         if attempt >= max_attempts:
             raise RuntimeError(f"{what} failed after {max_attempts} attempts")
-        wait_for_chip(cpu)
+        if probe_chip(cpu) is not None:
+            hard += 1
+            _log(f"{what}: backend is up — deterministic failure "
+                 f"{hard}/{max_hard_failures}")
+            if hard >= max_hard_failures:
+                raise RuntimeError(
+                    f"{what}: {hard} deterministic failures (backend alive); "
+                    "not an outage — aborting instead of retrying")
+        else:
+            wait_for_chip(cpu)
 
 
 def run_driver(data_dir, save_root, name, steps, batch_size, cpu, extra=()):
@@ -328,8 +344,14 @@ def main(argv=None) -> int:
     save_root = os.path.join(work, "models")
     import shlex
 
+    # production memory configuration (docs/BENCH.md "Training memory wall"):
+    # trunk remat + grad accumulation down to <=16-image microbatches. The
+    # B=16 no-remat step is a genuine HBM OOM on v5e; --driver_args can
+    # override both knobs.
     common = ["--lr_drop", str(args.lr_drop),
               "--batch_transfer_dtype", args.batch_transfer_dtype,
+              "--remat_backbone", "true",
+              "--grad_accum_steps", str(max(1, args.batch_size // 16)),
               *shlex.split(args.driver_args)]
     runs = {}
 

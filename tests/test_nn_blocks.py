@@ -173,3 +173,50 @@ class TestDepthwiseTapsMode:
 
         g = jax.grad(loss)(p)
         assert np.isfinite(np.asarray(g["w"])).all()
+
+    @pytest.mark.parametrize(
+        "stride,exp,kernel,padding",
+        [
+            (8, 4, 3, 1),   # the RPN level-0 OOM case: stride > kernel
+            (2, 1, 3, 1),   # overlapping taps (stride < kernel)
+            (1, 2, 3, 1),   # dense
+            (4, 3, 5, 2),   # stride < kernel with expansion
+            (2, 1, (3, 5), (1, 2)),  # asymmetric kernel/padding
+        ],
+    )
+    def test_taps_custom_vjp_matches_autodiff(self, rng, stride, exp, kernel, padding):
+        """The hand-written taps backward (custom_vjp in fnn._depthwise_taps,
+        one dilated-cotangent buffer instead of kh*kw interior-padded pads)
+        must equal autodiff of the lax grouped conv, for both dw and dx."""
+        import jax
+
+        indim = 5
+        kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+        x = jnp.asarray(rng.normal(size=(2, 19, 27, indim)).astype(np.float32))
+        p = {"w": jnp.asarray(
+            rng.normal(size=(kh, kw, 1, exp * indim)).astype(np.float32))}
+        ct_key = rng.normal  # deterministic cotangent via a fixed projection
+
+        def scalar(out):
+            # non-uniform cotangent: weight every output element differently
+            w = jnp.asarray(ct_key(size=out.shape).astype(np.float32))
+            return (out * w).sum()
+
+        def loss_lax(p, x):
+            return scalar(fnn.conv2d(p, x, stride=stride, padding=padding,
+                                     groups=indim))
+
+        def loss_taps(p, x):
+            with fnn.depthwise_taps_mode():
+                return scalar(fnn.conv2d(p, x, stride=stride, padding=padding,
+                                         groups=indim))
+
+        # same cotangent both times: re-seed the projection
+        state = rng.bit_generator.state
+        gw_ref, gx_ref = jax.grad(loss_lax, argnums=(0, 1))(p, x)
+        rng.bit_generator.state = state
+        gw, gx = jax.grad(loss_taps, argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(gw["w"]), np.asarray(gw_ref["w"]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=2e-4, atol=2e-4)
