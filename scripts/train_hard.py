@@ -344,13 +344,14 @@ def main(argv=None) -> int:
     save_root = os.path.join(work, "models")
     import shlex
 
-    # production memory configuration (docs/BENCH.md "Training memory wall"):
-    # trunk remat + grad accumulation down to <=16-image microbatches. The
-    # B=16 no-remat step is a genuine HBM OOM on v5e; --driver_args can
-    # override both knobs.
+    # production memory configuration (docs/BENCH.md "Memory wall, part 2"):
+    # no remat + grad accumulation down to <=16-image microbatches. The
+    # depthwise-taps custom VJP (models/nn.py) removed the kh*kw padded
+    # cotangent buffers that made B=16 no-remat OOM; --driver_args can
+    # override both knobs (B>=64 full-batch gradients need trunk remat).
     common = ["--lr_drop", str(args.lr_drop),
               "--batch_transfer_dtype", args.batch_transfer_dtype,
-              "--remat_backbone", "true",
+              "--remat_backbone", "false",
               "--grad_accum_steps", str(max(1, args.batch_size // 16)),
               *shlex.split(args.driver_args)]
     runs = {}
