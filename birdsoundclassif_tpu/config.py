@@ -207,6 +207,16 @@ class NbmConfig:
                                       # in one traced step): optimizer-step
                                       # batch sizes beyond the HBM wall at
                                       # one microbatch's activation footprint
+    device_augment: bool = False      # run the training augmentations on
+                                      # device (data/device_aug.py): the host
+                                      # ships uint8 window bytes or bank
+                                      # indices + a dozen aug scalars instead
+                                      # of float images — 2-4x fewer wire
+                                      # bytes/step on link-bound hosts
+    aug_bank_mb: int = 1024           # HBM budget for device-resident uint8
+                                      # sample banks (device_augment mode);
+                                      # pools that fit are indexed on device
+                                      # with ~zero per-step wire traffic
     remat_granularity: str = "stages"  # "stages": one checkpoint per resnet
                                       # stage + attn + FPN (backward peak =
                                       # boundaries + one stage); "blocks":

@@ -34,13 +34,26 @@ def _butterworth_lowpass_mask(cutting_freq: float, h_pix: int = 375,
 
 
 class ImgDataset:
-    """Index-addressable dataset over positive windows; thread-safe reads."""
+    """Index-addressable dataset over positive windows; thread-safe reads.
+
+    Two item formats:
+    - host mode (default): (img f32, neg_img f32, boxes, ids) with the
+      augmentations applied on the host (reference semantics,
+      image_dataset.py:37-101).
+    - device mode (`device_mode=True`, set by device_aug.build_banks): a
+      dict of uint8 window bytes OR bank indices plus the drawn
+      augmentation *parameters*; the pixel math runs inside the traced
+      train step (data/device_aug.py). 2-4x fewer wire bytes per step.
+    """
 
     def __init__(self, dataset_path: str, transform: bool = False,
                  rng: Optional[np.random.Generator] = None):
         self.ds_p = dataset_path
         self.transform = transform
         self.rng = rng or np.random.default_rng()
+        self.device_mode = False
+        self.bank_positives = False
+        self.bank_negatives = False
 
         def collect(sub):
             files = []
@@ -62,13 +75,18 @@ class ImgDataset:
     def __len__(self) -> int:
         return len(self.positive_files)
 
-    def _load_png(self, sub: str, name: str) -> np.ndarray:
+    def load_png_u8(self, sub: str, name: str) -> np.ndarray:
+        """Raw uint8 window bytes (what the PNG stores; the wire format of
+        device-augment mode)."""
         import imageio.v2 as imageio
 
         splits = name.replace(".png", "").split("__")
         folder = "__".join(splits[:-1])
         img = imageio.imread(os.path.join(self.ds_p, sub, folder, name))
-        return np.asarray(img, np.float32) / 255.0
+        return np.asarray(img, np.uint8)
+
+    def _load_png(self, sub: str, name: str) -> np.ndarray:
+        return self.load_png_u8(sub, name).astype(np.float32) / 255.0
 
     def _annots(self, folder: str) -> pd.DataFrame:
         if folder not in self._annot_cache:
@@ -81,19 +99,63 @@ class ImgDataset:
             self._annot_cache[folder] = df
         return self._annot_cache[folder]
 
-    def __getitem__(self, idx: int):
-        """-> (img (h, w), neg_img (h, w), boxes (k, 4), bird_ids (k,))."""
-        rng = self.rng
+    def _boxes_for(self, idx: int):
         name = self.positive_files[idx]
         splits = name.replace(".png", "").split("__")
         folder, fileidx = "__".join(splits[:-1]), int(splits[-1])
-        img = self._load_png("positive_files", name)
         annot = self._annots(folder)
         row = annot.loc[annot["index"] == fileidx, ["coord", "bird_id"]].values[0]
         boxes, ids = np.asarray(row[0], np.float32), np.asarray(row[1], np.int64)
         # drop class-0 (non-bird) boxes (reference: image_dataset.py:53-55)
         keep = ids != 0
-        boxes, ids = boxes.reshape(-1, 4)[keep], ids[keep]
+        return boxes.reshape(-1, 4)[keep], ids[keep]
+
+    def _device_item(self, idx: int):
+        """Device-augment item: uint8 bytes or bank indices + aug params.
+        The parameter draws mirror the host transform's gates (flips[0]
+        gates hard mixing, flips[1] the Butterworth mask); the pixel math
+        runs on device (data/device_aug.py.assemble_image)."""
+        rng = self.rng
+        boxes, ids = self._boxes_for(idx)
+        item = {}
+        if self.bank_positives:
+            item["pos_idx"] = np.int32(idx)
+        else:
+            item["pos_u8"] = self.load_png_u8(
+                "positive_files", self.positive_files[idx])
+        neg_j = int(rng.integers(len(self.negative_files)))
+        if self.bank_negatives:
+            item["neg_idx"] = np.int32(neg_j)
+        else:
+            item["neg_u8"] = self.load_png_u8(
+                "negative_files", self.negative_files[neg_j])
+
+        t = self.transform
+        item["aug_use_noise"] = np.bool_(t)
+        item["aug_seed"] = np.uint32(rng.integers(1 << 31)) if t else np.uint32(0)
+        item["aug_gain"] = np.float32(rng.uniform(-0.1, 0.35)) if t else np.float32(0)
+        flips = rng.integers(0, 2, size=4) if t else np.zeros(4, np.int64)
+        use_hard = bool(flips[0] == 1 and self.hard_negative_files)
+        item["aug_use_hard"] = np.bool_(use_hard)
+        item["hard_idx"] = np.int32(
+            rng.integers(len(self.hard_negative_files)) if use_hard else 0)
+        item["aug_hard_coef"] = np.float32(
+            rng.uniform(0.1, 0.4) if use_hard else 0)
+        item["aug_neg_coef"] = np.float32(
+            rng.uniform(0.5, 0.99) if use_hard else 0)
+        item["aug_use_butter"] = np.bool_(flips[1] == 1)
+        item["aug_cutoff"] = np.float32(
+            rng.integers(500, 10000) if flips[1] == 1 else 1000.0)
+        return item, boxes, ids
+
+    def __getitem__(self, idx: int):
+        """-> (img (h, w), neg_img (h, w), boxes (k, 4), bird_ids (k,)),
+        or (item dict, boxes, ids) in device-augment mode."""
+        if self.device_mode:
+            return self._device_item(idx)
+        rng = self.rng
+        img = self._load_png("positive_files", self.positive_files[idx])
+        boxes, ids = self._boxes_for(idx)
 
         negp = rng.choice(self.negative_files)
         neg_img = self._load_png("negative_files", negp)
@@ -121,17 +183,23 @@ class ImgDataset:
 
 
 def collate_batch(items: List, max_gt: int) -> Dict[str, np.ndarray]:
-    """Fixed-shape batch: pad GT to max_gt with validity masks."""
+    """Fixed-shape batch: pad GT to max_gt with validity masks. Handles
+    both host-mode tuples and device-augment dict items."""
     b = len(items)
-    h, w = items[0][0].shape
-    batch = {
-        "img": np.stack([it[0] for it in items]),
-        "neg_img": np.stack([it[1] for it in items]),
-        "gt_boxes": np.zeros((b, max_gt, 4), np.float32),
-        "gt_valid": np.zeros((b, max_gt), bool),
-        "gt_labels": np.zeros((b, max_gt), np.int32),
-    }
-    for i, (_, _, boxes, ids) in enumerate(items):
+    if isinstance(items[0][0], dict):
+        batch = {k: np.stack([it[0][k] for it in items])
+                 for k in items[0][0]}
+        gt = [(it[1], it[2]) for it in items]
+    else:
+        batch = {
+            "img": np.stack([it[0] for it in items]),
+            "neg_img": np.stack([it[1] for it in items]),
+        }
+        gt = [(it[2], it[3]) for it in items]
+    batch["gt_boxes"] = np.zeros((b, max_gt, 4), np.float32)
+    batch["gt_valid"] = np.zeros((b, max_gt), bool)
+    batch["gt_labels"] = np.zeros((b, max_gt), np.int32)
+    for i, (boxes, ids) in enumerate(gt):
         k = min(len(boxes), max_gt)
         batch["gt_boxes"][i, :k] = boxes[:k]
         batch["gt_valid"][i, :k] = True

@@ -218,6 +218,19 @@ def main(argv=None) -> int:
     if len(dataset) == 0:
         raise SystemExit(f"no positive files under {cfg.data_path}")
 
+    banks = None
+    if cfg.device_augment:
+        from ..data.device_aug import build_banks
+
+        t_bank = time.time()
+        banks = build_banks(dataset, cfg)  # also flips dataset.device_mode
+        if is_main_process():
+            # .nbytes is metadata — np.asarray here would D2H the banks
+            mb = sum(b.nbytes for b in banks if b is not None) / 1e6
+            print(f"device_augment: banks pos={dataset.bank_positives} "
+                  f"neg={dataset.bank_negatives} ({mb:.0f} MB on device, "
+                  f"built in {time.time() - t_bank:.0f}s)")
+
     state, tx = create_train_state(key, cfg)
     train_step, eval_step = make_train_step(cfg, tx)
 
@@ -255,6 +268,10 @@ def main(argv=None) -> int:
         mesh = make_mesh_2d(devices[:n_mesh], args.model_parallel)
         shard_batch = lambda b: shard_batch_2d(cast_batch(b), mesh)  # noqa: E731
         state = shard_tree(state, mesh)
+        if banks is not None:
+            from ..data.device_aug import replicate_banks
+
+            banks = replicate_banks(banks, mesh)
         if is_main_process():
             print(f"mesh: {args.data_parallel} data x {args.model_parallel} "
                   f"model over {jax.process_count()} process(es)")
@@ -317,7 +334,8 @@ def main(argv=None) -> int:
             # key stream is a pure function of the step index, so a resumed
             # run draws the same per-step randomness as a continuous one
             sub = jax.random.fold_in(key, steps)
-            state, losses = train_step(state, batch, sub, negative_sample=neg)
+            state, losses = train_step(state, batch, sub, negative_sample=neg,
+                                       banks=banks)
             _drain(pending)
             names = list(losses)
             pending = (steps, names,
@@ -339,7 +357,8 @@ def main(argv=None) -> int:
                 _drain(pending)
                 pending = None
                 val_cls = _validate(cfg, state, eval_step, val_loader, writer,
-                                    steps, key, shard_batch=shard_batch)
+                                    steps, key, shard_batch=shard_batch,
+                                    banks=banks)
                 if val_cls is not None and steps / 1000 > cfg.lr_drop and \
                         val_cls < best_val_cls_loss:
                     best_val_cls_loss = val_cls
@@ -371,7 +390,7 @@ def main(argv=None) -> int:
 
 
 def _validate(cfg, state, eval_step, val_loader, writer, steps, key,
-              shard_batch=lambda b: b) -> Optional[float]:
+              shard_batch=lambda b: b, banks=None) -> Optional[float]:
     """Runs the validation pass and returns the averaged sec_class_loss
     (the best-checkpoint criterion), or None when there is no val data."""
     if val_loader is None:
@@ -386,7 +405,8 @@ def _validate(cfg, state, eval_step, val_loader, writer, steps, key,
     for batch in val_loader:
         batch = _shard(batch)
         key, sub = jax.random.split(key)
-        ld = eval_step(state.params, batch, sub, negative_sample=False)
+        ld = eval_step(state.params, batch, sub, negative_sample=False,
+                       banks=banks)
         for k, v in ld.items():
             if k in val:
                 val[k] += float(v)
@@ -402,7 +422,8 @@ def _validate(cfg, state, eval_step, val_loader, writer, steps, key,
         val[k] /= max(n - 1, 1)
     if last_batch is not None:
         key, sub = jax.random.split(key)
-        ld = eval_step(state.params, last_batch, sub, negative_sample=True)
+        ld = eval_step(state.params, last_batch, sub, negative_sample=True,
+                       banks=banks)
         for k, v in ld.items():
             if k in val:
                 val[k] += float(v)

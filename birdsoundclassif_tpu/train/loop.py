@@ -139,20 +139,25 @@ def make_train_step(cfg, tx):
     wd = L.weight_dict(cfg)
 
     def compute_losses(params, batch, key, negative_sample: bool,
-                       train_mode: bool = True):
+                       train_mode: bool = True, banks=None):
         from ..models.nn import depthwise_taps_mode
 
         with depthwise_taps_mode():
             return _compute_losses_inner(params, batch, key, negative_sample,
-                                         train_mode)
+                                         train_mode, banks)
 
     def _compute_losses_inner(params, batch, key, negative_sample: bool,
-                              train_mode: bool):
+                              train_mode: bool, banks):
         # train_mode=False is the reference's model.eval() validation regime
         # (train.py:362,398): running-stat BN, no dropout, and the proposal
         # layer's eval topN (500/50 instead of 3000/1000, layers.py:244-246)
         bn: Dict = {}
-        img = batch["neg_img"] if negative_sample else batch["img"]
+        if cfg.device_augment:
+            from ..data.device_aug import assemble_image
+
+            img = assemble_image(batch, banks, negative_sample)
+        else:
+            img = batch["neg_img"] if negative_sample else batch["img"]
         out1 = NbmModel.forward_first_stage(
             params, img[..., None], cfg, training=train_mode, bn_updates=bn
         )
@@ -188,7 +193,7 @@ def make_train_step(cfg, tx):
         total = sum(losses[k] * wd[k] for k in losses if k in wd)
         return total, (losses, bn)
 
-    def _accum_grads(params, batch, key, negative_sample: bool):
+    def _accum_grads(params, batch, key, negative_sample: bool, banks=None):
         """Gradient accumulation over cfg.grad_accum_steps microbatches,
         scanned inside the one traced step. Peak activation memory is one
         microbatch's backward; the optimizer sees the full-batch gradient
@@ -206,9 +211,11 @@ def make_train_step(cfg, tx):
 
         def body(carry, xs):
             mb, k = xs
+            # banks enter the scan body as loop constants (read-only lookup
+            # tables — they must not be reshaped into microbatches)
             (total, (losses, bn)), grads = jax.value_and_grad(
                 compute_losses, has_aux=True
-            )(params, mb, k, negative_sample)
+            )(params, mb, k, negative_sample, banks=banks)
             carry = jax.tree_util.tree_map(jnp.add, carry, grads)
             losses["total"] = total
             return carry, (losses, bn)
@@ -226,17 +233,21 @@ def make_train_step(cfg, tx):
 
     @partial(jax.jit, static_argnames=("negative_sample",),
              donate_argnums=(0,))
-    def train_step(state: TrainState, batch, key, negative_sample: bool = False):
+    def train_step(state: TrainState, batch, key, negative_sample: bool = False,
+                   banks=None):
         # state is donated: params/opt_state buffers (~0.9 GB at flagship
         # scale) are updated in place instead of doubling HBM residency.
         # Every call site rebinds `state, losses = train_step(state, ...)`.
+        # `banks` (device_augment mode) are committed device arrays passed
+        # by handle each call — never closed over, which would embed them
+        # as HLO literals in the AOT-compiled program.
         if cfg.grad_accum_steps > 1:
             (total, (losses, bn)), grads = _accum_grads(
-                state.params, batch, key, negative_sample)
+                state.params, batch, key, negative_sample, banks=banks)
         else:
             (total, (losses, bn)), grads = jax.value_and_grad(
                 compute_losses, has_aux=True
-            )(state.params, batch, key, negative_sample)
+            )(state.params, batch, key, negative_sample, banks=banks)
         # torch buffers / requires_grad=False params produce no gradients in
         # the reference, so they must not contribute to the global clip norm
         # (zeroed grads) nor drift under AdamW's decoupled weight decay
@@ -255,11 +266,12 @@ def make_train_step(cfg, tx):
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), losses
 
     @partial(jax.jit, static_argnames=("negative_sample",))
-    def eval_step(params, batch, key, negative_sample: bool = False):
+    def eval_step(params, batch, key, negative_sample: bool = False,
+                  banks=None):
         # reference validation runs under model.eval() (train.py:362):
         # running-stat BN, dropout off, eval proposal topN
         _, (losses, _) = compute_losses(params, batch, key, negative_sample,
-                                        train_mode=False)
+                                        train_mode=False, banks=banks)
         return losses
 
     return train_step, eval_step

@@ -104,6 +104,28 @@ def test_driver_mesh_flags(dataset_dir, tmp_path):
     assert (mdir / "ckpt_last" / "opt_state.npz").exists()
 
 
+def test_driver_device_augment(dataset_dir, tmp_path):
+    """--device_augment builds the uint8 banks, switches the dataset to
+    index/param items, and trains through the device-side aug pipeline
+    (data/device_aug.py) end-to-end, including a validation pass."""
+    from birdsoundclassif_tpu.train import driver
+
+    save_root = tmp_path / "models"
+    flags = _flags(dataset_dir, save_root, max_steps=2) + [
+        "--model_name", "devaug", "--device_augment", "true",
+        # exercise the negative (neg-bank) program on step 1 too
+        "--first_neg_step", "0", "--neg_step_freq", "2",
+    ]
+    rc = driver.main(flags)
+    assert rc == 0
+    mdir = save_root / "devaug"
+    with open(mdir / "ckpt_last" / "meta.json") as f:
+        assert json.load(f)["steps"] == 2
+    # losses were finite and written
+    lines = [json.loads(ln) for ln in open(mdir / "metrics.jsonl")]
+    assert lines and all(np.isfinite(ln["value"]) for ln in lines)
+
+
 def _tiny_cfg():
     from birdsoundclassif_tpu.config import NbmConfig
 
