@@ -181,6 +181,38 @@ class TestLoaderFormats:
         assert not ds2.bank_positives and not ds2.bank_negatives
 
 
+class TestMeshMode:
+    def test_replicated_banks_sharded_batch(self):
+        """Mesh mode: banks replicate (read-only lookup tables), the
+        per-item batch leaves shard over the data axis, and the sharded
+        assemble_image matches the single-device result exactly."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from birdsoundclassif_tpu.parallel.tp import (
+            make_mesh_2d, shard_batch_2d,
+        )
+
+        rng = np.random.default_rng(4)
+        batch, banks, _, _, _ = _fake_batch_and_banks(rng, b=8)
+        want = np.asarray(da.assemble_image(batch, banks, negative=False))
+
+        mesh = make_mesh_2d(jax.devices()[:8], model_parallel=2)
+        sbanks = da.replicate_banks(banks, mesh)
+        for leaf in [sbanks.pos, sbanks.neg, sbanks.hard]:
+            assert leaf.sharding.is_equivalent_to(
+                NamedSharding(mesh, P()), leaf.ndim)
+        sbatch = shard_batch_2d(batch, mesh)
+
+        fn = jax.jit(lambda b, bk: da.assemble_image(b, bk, negative=False))
+        out = fn(sbatch, sbanks)
+        # output stays sharded over the data axis (no accidental gather)
+        assert len(out.sharding.device_set) == 8
+        # jit fusion/reduction order may differ from the eager reference
+        # by f32 ulps (the noise scale divides by a reduced std)
+        np.testing.assert_allclose(np.asarray(out), want,
+                                   rtol=1e-6, atol=1e-6)
+
+
 def _tiny_png_dataset(tmp_path):
     """Minimal on-disk dataset: 3 positive windows + annotations, 2 negative
     windows, no hard_neg pool."""
