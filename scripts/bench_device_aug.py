@@ -60,6 +60,12 @@ def main(argv=None) -> int:
         cfg.batch_transfer_dtype = "bfloat16"
         cfg.device_augment = mode != "host_bf16"
         cfg.aug_bank_mb = 0 if mode == "stream_u8" else 1024
+        if mode == "bank_remat":
+            # full-corpus banks (~0.7-1 GB resident) don't fit next to the
+            # B=16 no-remat program on a 16 GB v5e; stage remat trades
+            # recompute FLOPs for the HLO-temp headroom the banks need
+            cfg.remat_backbone = True
+            cfg.remat_granularity = "stages"
         cfg.set_derived()
 
         ds = ImgDataset(args.data, transform=True,
