@@ -166,8 +166,21 @@ def build_banks(dataset, cfg) -> AugBanks:
 
 def replicate_banks(banks: AugBanks, mesh) -> AugBanks:
     """Mesh mode: banks are read-only lookup tables — replicate them (the
-    per-item batch leaves are what shard over the data axis)."""
+    per-item batch leaves are what shard over the data axis).
+
+    Multi-host: device_put of host data onto a mesh with devices this
+    process cannot address is illegal; every process holds the same pools
+    (build_banks is deterministic given the dataset), so each device
+    fetches its full copy via make_array_from_callback — the same
+    discipline as parallel/tp.shard_batch_2d."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), banks)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), banks)
+
+    def leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(leaf, banks)
