@@ -349,9 +349,15 @@ def main(argv=None) -> int:
     # depthwise-taps custom VJP (models/nn.py) removed the kh*kw padded
     # cotangent buffers that made B=16 no-remat OOM; --driver_args can
     # override both knobs (B>=64 full-batch gradients need trunk remat).
+    # device_augment + stage remat measured 1.53x the host-aug step
+    # throughput on this corpus behind the tunnel (docs/BENCH.md r3:
+    # banks are ~zero wire bytes; the remat recompute the banks need to
+    # fit HBM costs far less than the transfers it removes)
     common = ["--lr_drop", str(args.lr_drop),
               "--batch_transfer_dtype", args.batch_transfer_dtype,
-              "--remat_backbone", "false",
+              "--device_augment", "true",
+              "--remat_backbone", "true",
+              "--remat_granularity", "stages",
               "--grad_accum_steps", str(max(1, args.batch_size // 16)),
               *shlex.split(args.driver_args)]
     runs = {}
