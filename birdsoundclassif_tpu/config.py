@@ -134,6 +134,11 @@ class NbmConfig:
     sec_neg_cls_loss_coef: float = 1.0
     sec_reg_loss_coef: float = 1.0
     focal_loss: bool = False
+    fixed_neg_objective: bool = False  # opt-in: stage-1 hard-negative loss
+                                      # as the reference INTENDS (bg CE over
+                                      # the rcnn_batch_size*20 most confident
+                                      # anchors) instead of its degenerate
+                                      # top-1 collapse (PARITY.md dev. 10)
 
     device: str = "tpu"
     seed: int = 42

@@ -69,11 +69,30 @@ def first_stage_neg_loss(cls_scores: jnp.ndarray, cfg) -> Dict[str, jnp.ndarray]
     tests/test_refmod_targets.py; PARITY.md deviation 9). Reproduced
     faithfully: this is the loss the published checkpoint was trained
     with, and it is minimized at p=(0.5, 0.5), not at background."""
+    if getattr(cfg, "fixed_neg_objective", False):
+        return first_stage_neg_loss_fixed(cls_scores, cfg)
     b = cls_scores.shape[0]
     probs = cls_scores.reshape(b, -1, 2)
     top1 = probs[..., 1].argmax(axis=1)                    # (B,)
     pair = jnp.take_along_axis(probs, top1[:, None, None], axis=1)[:, 0, :]
     loss = -_safe_log(pair).mean()
+    return {"first_neg_class_loss": loss}
+
+
+def first_stage_neg_loss_fixed(cls_scores: jnp.ndarray, cfg) -> Dict[str, jnp.ndarray]:
+    """The stage-1 hard-negative objective the reference *intends*
+    (nbm_model.py:113-118 before the indexing collapse): background
+    cross-entropy over the rcnn_batch_size*20 most foreground-confident
+    anchor predictions per image. Opt-in via cfg.fixed_neg_objective —
+    this deliberately deviates from the published-checkpoint objective
+    (PARITY.md deviation 10), pushing the top-k toward p_bg=1 instead of
+    the degenerate p=(0.5, 0.5) optimum of the faithful loss."""
+    b = cls_scores.shape[0]
+    probs = cls_scores.reshape(b, -1, 2)
+    k = min(int(cfg.rcnn_batch_size) * 20, probs.shape[1])
+    _, topi = jax.lax.top_k(probs[..., 1], k)              # (B, k)
+    bg = jnp.take_along_axis(probs[..., 0], topi, axis=1)  # p(background)
+    loss = -_safe_log(bg).mean()
     return {"first_neg_class_loss": loss}
 
 

@@ -184,3 +184,63 @@ class TestProposalTargetLayer:
                 assert np.abs(row[zero_rows]).sum() == 0
             else:
                 assert np.abs(row).sum() == 0
+
+
+class TestFixedNegObjective:
+    """Opt-in stage-1 hard-negative objective (cfg.fixed_neg_objective):
+    background CE over the rcnn_batch_size*20 most fg-confident anchors —
+    the loss the reference INTENDS before its indexing collapse
+    (PARITY.md deviation 10)."""
+
+    def _probs(self, rng, b=2, n=900):
+        x = rng.normal(0, 1, (b, n, 2)).astype(np.float32)
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    def test_matches_numpy_topk_bg_ce(self, rng):
+        from birdsoundclassif_tpu.train import losses as L
+
+        cfg = NbmConfig()
+        cfg.fixed_neg_objective = True
+        probs = self._probs(rng)
+        got = float(L.first_stage_neg_loss(jnp.asarray(probs), cfg)[
+            "first_neg_class_loss"])
+        k = cfg.rcnn_batch_size * 20
+        want = 0.0
+        for i in range(probs.shape[0]):
+            top = np.argsort(-probs[i, :, 1])[:k]
+            want += -np.log(np.clip(probs[i, top, 0], 1e-10, None)).mean()
+        want /= probs.shape[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_minimized_at_background(self, rng):
+        """Unlike the faithful loss (optimum at p=(0.5, 0.5)), the fixed
+        objective strictly prefers confident background."""
+        from birdsoundclassif_tpu.train import losses as L
+
+        cfg = NbmConfig()
+        cfg.fixed_neg_objective = True
+        n = 900
+        half = np.full((1, n, 2), 0.5, np.float32)
+        bg = np.stack([np.full((1, n), 0.99, np.float32),
+                       np.full((1, n), 0.01, np.float32)], axis=-1)
+        l_half = float(L.first_stage_neg_loss(jnp.asarray(half), cfg)[
+            "first_neg_class_loss"])
+        l_bg = float(L.first_stage_neg_loss(jnp.asarray(bg), cfg)[
+            "first_neg_class_loss"])
+        assert l_bg < l_half
+
+    def test_default_keeps_reference_semantics(self, rng):
+        """fixed_neg_objective defaults off: the faithful top-1-collapse
+        loss is returned bit-identically with the flag absent or False."""
+        from birdsoundclassif_tpu.train import losses as L
+
+        cfg = NbmConfig()
+        assert cfg.fixed_neg_objective is False
+        probs = self._probs(rng)
+        got = L.first_stage_neg_loss(jnp.asarray(probs), cfg)
+        top1 = probs[..., 1].argmax(axis=1)
+        pair = np.stack([probs[i, t] for i, t in enumerate(top1)])
+        want = -np.log(np.clip(pair, 1e-10, None)).mean()
+        np.testing.assert_allclose(float(got["first_neg_class_loss"]),
+                                   want, rtol=1e-5)
