@@ -182,6 +182,37 @@ def fp_rate(params, cfg, neg_dir, min_score=0.02, bs=16):
     }
 
 
+def parse_arms(spec: str, default_steps: int, default_lr_drop: int):
+    """Parse --arms "key:steps[:lr_drop_k]" specs into run descriptors.
+
+    The key decides the arm's semantics (prefix match):
+      neg_off* — hard-negative cadence disabled (first_neg_step > max_steps)
+      fixed*   — opt-in --fixed_neg_objective (intended background CE,
+                 PARITY.md deviation 10 fix; config.py:137)
+      anything else — the faithful reference cadence (train.py:340-343)
+    Model dir name is "hard_" + key, so the legacy arm keys neg_on/neg_off
+    keep their historical hard_neg_on/hard_neg_off checkpoint paths.
+    """
+    arms = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(":")
+        key = bits[0]
+        steps = int(bits[1]) if len(bits) > 1 and bits[1] else default_steps
+        lr_drop = int(bits[2]) if len(bits) > 2 and bits[2] else default_lr_drop
+        if key.startswith("neg_off"):
+            extra = ["--first_neg_step", str(10 * steps)]
+        elif key.startswith("fixed"):
+            extra = ["--fixed_neg_objective", "true"]
+        else:
+            extra = []
+        arms.append({"key": key, "name": "hard_" + key, "steps": steps,
+                     "lr_drop": lr_drop, "extra": extra})
+    return arms
+
+
 def eval_main(args) -> int:
     """--eval_only worker (runs in a subprocess): FP rate on the
     interference recordings + final test AP for every finished run."""
@@ -200,7 +231,10 @@ def eval_main(args) -> int:
                 out = json.load(f)
         except json.JSONDecodeError:
             out = {}
-    for key, name in (("neg_on", "hard_neg_on"), ("neg_off", "hard_neg_off")):
+    arms = parse_arms(args.arms, 0, 0) if args.arms else \
+        [{"key": "neg_on", "name": "hard_neg_on"},
+         {"key": "neg_off", "name": "hard_neg_off"}]
+    for key, name in [(a["key"], a["name"]) for a in arms]:
         ckpt = os.path.join(save_root, name, "ckpt_last")
         if key in out or not os.path.isdir(ckpt):
             continue
@@ -260,6 +294,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="TRAINING_E2E_r3.json")
     p.add_argument("--skip_ablation", action="store_true",
                    help="only run the neg_on model")
+    p.add_argument("--arms", default=None,
+                   help="comma-separated run specs 'key:steps[:lr_drop_k]', "
+                        "e.g. 'fixed_neg:10000:8,neg_on_25k:25000:16'. "
+                        "Overrides --steps/--skip_ablation arm selection; "
+                        "results merge into --out without clobbering arms "
+                        "recorded by earlier invocations")
     p.add_argument("--etl_only", action="store_true",
                    help="build the corpus + dataset, then exit (lets the "
                         "ETL run on the CPU backend while the chip is busy "
@@ -353,14 +393,17 @@ def main(argv=None) -> int:
     # throughput on this corpus behind the tunnel (docs/BENCH.md r3:
     # banks are ~zero wire bytes; the remat recompute the banks need to
     # fit HBM costs far less than the transfers it removes)
-    common = ["--lr_drop", str(args.lr_drop),
-              "--batch_transfer_dtype", args.batch_transfer_dtype,
+    common = ["--batch_transfer_dtype", args.batch_transfer_dtype,
               "--device_augment", "true",
               "--remat_backbone", "true",
               "--remat_granularity", "stages",
               "--grad_accum_steps", str(max(1, args.batch_size // 16)),
               *shlex.split(args.driver_args)]
-    runs = {}
+    if args.arms:
+        arms = parse_arms(args.arms, args.steps, args.lr_drop)
+    else:
+        arms = parse_arms("neg_on" if args.skip_ablation else "neg_on,neg_off",
+                          args.steps, args.lr_drop)
 
     _log("waiting for a live backend before the first driver launch")
     device = wait_for_chip(args.cpu)
@@ -379,8 +422,26 @@ def main(argv=None) -> int:
         "positive_window_files": n_pos,
         "hard_neg_window_files": n_hard,
         "etl_wall_s": round(etl_s, 1),
-        "runs": runs,
+        "runs": {},
     }
+    # merge mode: arms recorded by earlier invocations survive; per-arm
+    # steps/lr_drop now live inside each run dict (top-level steps/lr_drop_k
+    # describe the original 10k A/B for backward compatibility)
+    if os.path.isfile(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            for k in ("what", "device", "steps", "batch_size", "test_every",
+                      "lr_drop_k", "positive_window_files",
+                      "hard_neg_window_files", "etl_wall_s"):
+                result[k] = prior.get(k, result[k])
+            result["runs"] = prior.get("runs", {})
+            # prior "complete" is NOT carried over: this invocation is
+            # adding arms, so the artifact is in_progress again until the
+            # final flush below
+        except json.JSONDecodeError:
+            pass
+    runs = result["runs"]
 
     def flush_partial():
         # incremental dump so a killed session still leaves the artifact
@@ -398,37 +459,32 @@ def main(argv=None) -> int:
 
     def _refresher():
         while not stop_evt.wait(45.0):
-            for key, name in (("neg_on", "hard_neg_on"),
-                              ("neg_off", "hard_neg_off")):
-                traj = trajectory(save_root, name)
+            for arm in arms:
+                traj = trajectory(save_root, arm["name"])
                 if traj:
-                    runs.setdefault(key, {})["trajectory"] = traj
+                    runs.setdefault(arm["key"], {})["trajectory"] = traj
             if result.get("status") != "complete":
                 result["status"] = "in_progress"
             flush_partial()
 
     threading.Thread(target=_refresher, daemon=True).start()
 
-    t, attempts = run_driver(data_dir, save_root, "hard_neg_on", args.steps,
-                             args.batch_size, args.cpu, common)
-    runs["neg_on"] = {"train_wall_s": round(t, 1), "attempts": attempts,
-                      "trajectory": trajectory(save_root, "hard_neg_on")}
-    print(f"neg_on done in {t:.0f}s ({attempts} attempt(s))", flush=True)
-    flush_partial()
-    if not args.skip_ablation:
+    for arm in arms:
         t, attempts = run_driver(
-            data_dir, save_root, "hard_neg_off", args.steps,
-            args.batch_size, args.cpu,
-            common + ["--first_neg_step", str(10 * args.steps)])
-        runs["neg_off"] = {"train_wall_s": round(t, 1), "attempts": attempts,
-                           "trajectory": trajectory(save_root, "hard_neg_off")}
-        print(f"neg_off done in {t:.0f}s ({attempts} attempt(s))", flush=True)
+            data_dir, save_root, arm["name"], arm["steps"], args.batch_size,
+            args.cpu, common + ["--lr_drop", str(arm["lr_drop"]), *arm["extra"]])
+        runs[arm["key"]] = {"train_wall_s": round(t, 1), "attempts": attempts,
+                            "steps": arm["steps"], "lr_drop_k": arm["lr_drop"],
+                            "trajectory": trajectory(save_root, arm["name"])}
+        print(f"{arm['key']} done in {t:.0f}s ({attempts} attempt(s))",
+              flush=True)
         flush_partial()
 
     # FP ablation on the interference-only recordings (device-touching ->
     # retryable subprocess like the driver runs)
     eval_flags = ["--eval_only", "--work_dir", work,
                   "--batch_size", str(args.batch_size),
+                  "--arms", ",".join(a["key"] for a in arms),
                   "--eval_out", args.eval_out]
     if args.cpu:
         eval_flags.append("--cpu")
