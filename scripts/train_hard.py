@@ -385,19 +385,22 @@ def main(argv=None) -> int:
     import shlex
 
     # production memory configuration (docs/BENCH.md "Memory wall, part 2"):
-    # no remat + grad accumulation down to <=16-image microbatches. The
-    # depthwise-taps custom VJP (models/nn.py) removed the kh*kw padded
-    # cotangent buffers that made B=16 no-remat OOM; --driver_args can
-    # override both knobs (B>=64 full-batch gradients need trunk remat).
     # device_augment + stage remat measured 1.53x the host-aug step
     # throughput on this corpus behind the tunnel (docs/BENCH.md r3:
     # banks are ~zero wire bytes; the remat recompute the banks need to
-    # fit HBM costs far less than the transfers it removes)
+    # fit HBM costs far less than the transfers it removes). In bank mode
+    # the microbatch must be <=8: the driver's full step (donated AdamW
+    # state + both stage programs + 744 MB bank args) at a 16-image
+    # microbatch needs 16.3-17.0 GB on the AOT compiler's accounting
+    # (scripts/probe_step_memory.py) vs the v5e's 15.75 GB — measured as a
+    # double deterministic ResourceExhausted in this harness; accum 2
+    # fits AND runs faster (348 ms/step measured vs the 388 ms bench).
+    # --driver_args can still override every knob.
     common = ["--batch_transfer_dtype", args.batch_transfer_dtype,
               "--device_augment", "true",
               "--remat_backbone", "true",
               "--remat_granularity", "stages",
-              "--grad_accum_steps", str(max(1, args.batch_size // 16)),
+              "--grad_accum_steps", str(max(2, args.batch_size // 8)),
               *shlex.split(args.driver_args)]
     if args.arms:
         arms = parse_arms(args.arms, args.steps, args.lr_drop)
