@@ -14,12 +14,37 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libnbmnative.so")
 _lib = None
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Best-effort one-time build when the .so is absent but g++ exists.
+
+    The .so is not checked in, so a fresh checkout (or a wiped build dir)
+    silently drops to the numpy fallbacks — measured at 4x slower wire-codec
+    encode, enough to make the whole-file sweep prefetch-bound instead of
+    device-bound (docs/BENCH.md r3 sweep attribution). Building takes ~2 s
+    once; failures (no compiler, read-only tree) leave the fallback path.
+    """
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    try:
+        from . import build as _build
+        if os.path.exists(_build.SRC) and os.access(
+                os.path.dirname(_LIB_PATH), os.W_OK):
+            _build.build(verbose=False)
+    except Exception:
+        pass
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
