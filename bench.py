@@ -31,7 +31,7 @@ def main():
         stream_detections,
     )
     from birdsoundclassif_tpu.models.detector import NbmModel
-    from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
+    from birdsoundclassif_tpu.models.optimize import fold_inference
 
     seconds = float(os.environ.get("BENCH_SECONDS", "600"))  # typical recording
     # enough files that the pipeline's cold start (first file's H2D transfer
@@ -78,7 +78,7 @@ def main():
     # jitted init: one compiled program instead of hundreds of eager
     # dispatches (each costs a full link RTT through the axon tunnel)
     params = jax.jit(
-        lambda key: fold_frozen_bn(NbmModel.init(key, cfg), cfg)
+        lambda key: fold_inference(NbmModel.init(key, cfg), cfg)
     )(jax.random.PRNGKey(0))
 
     sr = cfg.frontend.sample_rate

@@ -47,9 +47,9 @@ def load_model(model_dir: str):
     (reference: load_model, run_detection.py:87-122)."""
     cfg = NbmConfig.load(os.path.join(model_dir, "args"))
     params = load_params(model_dir, cfg)
-    from ..models.optimize import fold_frozen_bn
+    from ..models.optimize import fold_inference
 
-    return fold_frozen_bn(params, cfg), cfg
+    return fold_inference(params, cfg), cfg
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,8 @@ def resnet_pyramid(
         either way; measured in docs/BENCH.md r3."""
     spec = RESNET_SPECS[name]
     out = fnn.conv2d(params["conv1"], x, stride=2, padding=3)
+    if "stem_corr" in params:  # fused init_conv border term (optimize.py)
+        out = fnn.stem_corr_add(params["stem_corr"], out, x.shape, 2, 3)
     out = fnn.relu(
         _norm(params["bn1"], out, norm_kind, training, bn_updates, "backbone/body/bn1")
     )

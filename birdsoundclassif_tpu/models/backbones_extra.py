@@ -80,6 +80,9 @@ def vgg16_bn_pyramid(params: Dict, x: jnp.ndarray, training=False,
             out = fnn.max_pool2d(out, 2, 2, 0)
             continue
         out = fnn.conv2d(params[f"conv{conv_i}"], out, padding=1)
+        if conv_i == 0 and "stem_corr" in params:
+            # fused init_conv border term (optimize.fold_init_conv)
+            out = fnn.stem_corr_add(params["stem_corr"], out, x.shape, 1, 1)
         bn = params[f"bn{conv_i}"]
         if training:
             out, stats = fnn.batchnorm(bn, out, training=True)
@@ -329,6 +332,9 @@ def efficientnet_pyramid(params: Dict, x: jnp.ndarray, name: str,
     family is exempt there, so callers pass frozen=False for v2."""
     feats: List[jnp.ndarray] = []
     out = fnn.conv2d(params["stem_conv"], x, stride=2, padding=1)
+    if "stem_corr" in params:
+        # fused init_conv border term (optimize.fold_init_conv)
+        out = fnn.stem_corr_add(params["stem_corr"], out, x.shape, 2, 1)
     out = fnn.silu(_apply_bn(params["stem_bn"], out, training, bn_updates,
                              "backbone/body/stem_bn", frozen))
     if name.startswith("efficientnet_v2"):

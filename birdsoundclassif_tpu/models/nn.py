@@ -341,6 +341,20 @@ def max_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.nd
     )
 
 
+def stem_corr_add(params: Params, y: jnp.ndarray, x_shape, stride, padding) -> jnp.ndarray:
+    """Add the fused-init-conv border correction to a stem conv output.
+
+    `params` holds the bias-contracted kernel built by
+    optimize.fold_init_conv; the correction is the stem conv's response to
+    a constant ones-map (batch 1, 1 channel) with the same stride/padding,
+    i.e. the sum of in-bounds taps — constant in the interior, reduced in
+    the zero-padded border frame. Negligible cost: one batch-1 single-
+    channel conv per forward, broadcast-added over the batch.
+    """
+    ones = jnp.ones((1,) + tuple(x_shape[1:3]) + (1,), y.dtype)
+    return y + conv2d(params, ones, stride=stride, padding=padding)
+
+
 def silu(x):
     return jax.nn.silu(x)
 

@@ -70,3 +70,54 @@ def fold_frozen_bn(params: Dict, cfg) -> Dict:
                 if "downsample" in b:
                     _fold_pair(b["downsample"]["conv"], b["downsample"]["bn"])
     return params
+
+
+def _first_conv_key(cfg) -> str:
+    if "vgg" in cfg.backbone:
+        return "conv0"
+    if "efficientnet" in cfg.backbone:
+        return "stem_conv"
+    return "conv1"
+
+
+def fold_init_conv(params: Dict, cfg) -> Dict:
+    """Compose the 1x1 init_conv into the backbone's first conv (inference).
+
+    The reference adapts 1-channel spectrograms to 3-channel pretrained
+    stems with a 1x1 conv ahead of the backbone (backbone.py:104-113);
+    there is no nonlinearity between it and the stem conv, so the two
+    linear maps compose into one conv with 3x fewer contraction taps
+    (k*k*C_in vs k*k*3) and no 3-channel full-resolution intermediate in
+    HBM — measured on the resnet50 stem in docs/BENCH.md (r3).
+
+    Zero-padding subtlety: the unfused stem conv zero-pads the *3-channel*
+    map, so init_conv's bias contributes only at in-bounds taps. The fused
+    conv therefore needs a border term
+        corr[p] = sum_{in-bounds taps t} W1[t] @ b0,
+    which is exactly a stride/pad-matched conv of a ones-map against the
+    bias-contracted kernel kb[t, 0, o] = sum_c W1[t, c, o] * b0[c]; the
+    forward adds it right after the first conv (nn.stem_corr_add). Exact
+    up to float reassociation; inference-only (the composed weight cannot
+    be trained as two factors).
+    """
+    bb = params["backbone"]
+    if "init_conv" not in bb:
+        return params
+    params = jax.tree.map(lambda x: x, params)  # structural copy
+    bb = params["backbone"]
+    body = bb["body"]
+    first = body[_first_conv_key(cfg)]
+    ic = bb.pop("init_conv")
+    w0 = ic["w"][0, 0]                      # (C_in, 3)
+    w1 = first["w"]                         # (kh, kw, 3, C_out)
+    first["w"] = jnp.einsum("ic,hwco->hwio", w0, w1)
+    if "b" in ic:
+        kb = jnp.einsum("c,hwco->hwo", ic["b"], w1)[:, :, None, :]
+        body["stem_corr"] = {"w": kb}       # (kh, kw, 1, C_out)
+    return params
+
+
+def fold_inference(params: Dict, cfg) -> Dict:
+    """All inference-only pytree folds: frozen/eval BN into convs, then the
+    init_conv into the stem conv. Returns a new tree; do not train it."""
+    return fold_init_conv(fold_frozen_bn(params, cfg), cfg)
