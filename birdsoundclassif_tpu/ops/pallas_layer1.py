@@ -114,11 +114,15 @@ def _bottleneck(x_t, w1, b1, w2cat, b2, w3, b3, wd=None, bd=None,
         h1 = jnp.where((cols >= 0) & (cols < img_w), h1, 0)
     # zero-pad H for the 3x3 (outer-axis pad; W halos come from the tile)
     h1 = jnp.pad(h1, ((1, 1), (0, 0), (0, 0)))
-    # partial im2col over dx: (H+2, Wt-2, 3P), lane-axis concat of static
-    # sublane slices; contraction K = 3P fills the 128-wide MXU lanes
+    # partial im2col over dx: (H+2, Wt-2, 3P), lane-axis concat of the dx
+    # shifts; contraction K = 3P fills the 128-wide MXU lanes. The shifts
+    # are sublane *rolls* (wrapped columns land beyond wt-3 and are sliced
+    # off), not slices: Mosaic cannot concat operands whose non-concat
+    # dims carry different sublane offsets ("result/input offset mismatch
+    # on non-concat dimension"), and rolls re-normalize the layout.
     cat = jnp.concatenate(
-        [h1[:, 0 : wt - 2], h1[:, 1 : wt - 1], h1[:, 2:wt]], axis=-1
-    )
+        [h1, jnp.roll(h1, -1, axis=1), jnp.roll(h1, -2, axis=1)], axis=-1
+    )[:, 0 : wt - 2]
     h2 = (
         _dot(cat[0:h_dim], w2cat[0])
         + _dot(cat[1 : h_dim + 1], w2cat[1])
@@ -134,18 +138,20 @@ def _bottleneck(x_t, w1, b1, w2cat, b2, w3, b3, wd=None, bd=None,
     return jnp.maximum(out + sc, 0.0).astype(dtype)
 
 
-def _kernel(x_hbm, *refs, dtype, tw, img_w):
-    """refs = 20 weight refs (VMEM), out_ref, scratch (VMEM), DMA sem."""
-    w_refs, out_ref, x_scr, sem = refs[:20], refs[20], refs[21], refs[22]
-    b = pl.program_id(0)
+def _kernel(x_ref, *refs, dtype, tw, img_w):
+    """refs = 20 weight refs (VMEM), out_ref.
+
+    The input block is the batch image's whole HALO-padded row strip
+    (~3 MB at the flagship 94x262x64 bf16) and is indexed only by the
+    batch grid dim, so Pallas keeps it resident across the inner W-tile
+    programs; each program dynamic-slices its overlapping tile out of
+    VMEM (a direct dynamic HBM slice per program was the first design —
+    Mosaic cannot lower that memref_slice)."""
+    w_refs, out_ref = refs[:20], refs[20]
     wi = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(wi * tw, tw + 2 * HALO), :], x_scr, sem
-    )
-    cp.start()
-    cp.wait()
+    start = pl.multiple_of(wi * tw, 8)
+    x_t = x_ref[0, :, pl.ds(start, tw + 2 * HALO), :]
     w = [r[:] for r in w_refs]
-    x_t = x_scr[:]
     base = wi * tw - HALO  # global image column of tile column 0 at depth 0
     x_t = _bottleneck(x_t, w[0], w[1], w[2], w[3], w[4], w[5],
                       wd=w[6], bd=w[7], dtype=dtype, col0=base, img_w=img_w)
@@ -197,14 +203,16 @@ def fused_layer1(
         partial(_kernel, dtype=dtype, tw=tw, img_w=w_dim),
         out_shape=jax.ShapeDtypeStruct((b, h_dim, w_dim, c_out), dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + weight_specs,
+        in_specs=[
+            pl.BlockSpec(
+                (1, h_dim, w_dim + 2 * HALO, c_in),
+                lambda bi, wi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] + weight_specs,
         out_specs=pl.BlockSpec(
             (1, h_dim, tw, c_out), lambda bi, wi: (bi, 0, wi, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((h_dim, tw + 2 * HALO, c_in), dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         interpret=interpret,
     )(xp, *ops)
