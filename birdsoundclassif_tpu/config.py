@@ -203,11 +203,6 @@ class NbmConfig:
                                       # compute_dtype is bfloat16: the model's
                                       # first op casts samples there anyway
                                       # (models/detector.py forward_first_stage)
-    pallas_layer1: bool = False       # fused VMEM-resident layer1 bottleneck
-                                      # chain (ops/pallas_layer1.py) on the
-                                      # eval forward; TPU lowering only
-                                      # (lax.platform_dependent), default set
-                                      # by the measured result in docs/BENCH.md
     max_gt_boxes: int = 48            # fixed-shape padding of GT boxes
     merge_nms_max_boxes: int = 8192   # cap for the cross-window merge NMS
     remat_backbone: bool = False      # jax.checkpoint the backbone in training

@@ -135,7 +135,6 @@ def resnet_pyramid(
     training: bool = False,
     bn_updates: Optional[dict] = None,
     remat: str = "none",
-    pallas_layer1: bool = False,
 ) -> List[jnp.ndarray]:
     """x: (B, H, W, 3) -> 5 feature maps [relu, layer1..layer4]
     (reference tap points: backbone.py:82-85).
@@ -177,31 +176,6 @@ def resnet_pyramid(
                 coll, f"backbone/body/layer{_stage + 1}/{b}",
             )
 
-        if (
-            stage == 0
-            and pallas_layer1
-            and not training
-            and spec["groups"] == 1
-        ):
-            # fused VMEM-resident layer1 chain on TPU lowerings only
-            # (ops/pallas_layer1.py); the default branch keeps the exact
-            # XLA block loop so CPU-mesh programs are unaffected
-            from ..ops.pallas_layer1 import fused_layer1, supports
-
-            if supports(blocks, spec["groups"], out.shape[2]):
-                def _plain(bl, x_):
-                    y = x_
-                    for b in range(len(bl)):
-                        y = _block(bl[str(b)], y, b, None)
-                    return y
-
-                out = jax.lax.platform_dependent(
-                    blocks, out,
-                    tpu=lambda bl, x_: fused_layer1(x_, bl),
-                    default=_plain,
-                )
-                feats.append(out)
-                continue
         if remat == "blocks":
             for b in range(len(blocks)):
                 # BN stat updates flow out as checkpoint outputs so the
@@ -311,7 +285,6 @@ def backbone_apply(
         feats = resnet_pyramid(
             params["body"], x, name, cfg.norm_layer_backbone,
             cfg.dilation, training, bn_updates, remat=remat,
-            pallas_layer1=getattr(cfg, "pallas_layer1", False),
         )
     if cfg.position_embedding in ("learned", "v3"):
         # note: the learned PE has a fixed 512-channel output that cannot

@@ -4,10 +4,16 @@ Cases (B=32 bf16, flagship shapes, interleaved-RTT methodology from
 bisect_backbone.py layer1_variants):
 
   layer1_xla     the shipped XLA bottleneck loop on BN-folded params
-  layer1_pallas  ops/pallas_layer1.fused_layer1 (VMEM-resident chain)
   stem_unfused   init_conv (1->3) + conv1 7x7/2 (3->64) at 375x1024
   stem_folded    composed 7x7 1->64 + ones-map border term
                  (optimize.fold_init_conv semantics)
+
+Historical note: this script also A/B'd a fused VMEM-resident Pallas
+layer1 chain (ops/pallas_layer1.py). Measured on chip 2026-08-19:
+layer1_xla 10.47 ms vs layer1_pallas 20.3 ms — the kernel LOST ~2x (the
+dx-concat im2col's in-VMEM relayouts and the non-pipelined weight-
+stationary chain cost more than the HBM round-trips it saved) and was
+removed, same disposition as the Pallas STFT (docs/BENCH.md).
 
 Usage: python scripts/bench_layer1_kernel.py [--batch 32] [--reps 7]
 """
@@ -50,7 +56,6 @@ def main(argv=None) -> int:
         resnet_init,
     )
     from birdsoundclassif_tpu.models.optimize import fold_frozen_bn, fold_init_conv
-    from birdsoundclassif_tpu.ops.pallas_layer1 import fused_layer1
 
     B = args.batch
     rng = np.random.default_rng(0)
@@ -80,12 +85,6 @@ def main(argv=None) -> int:
             )
         return jnp.sum(out.astype(jnp.float32))
 
-    def layer1_pallas(x):
-        # interpret on --cpu: only the plumbing is smoke-testable there
-        return jnp.sum(
-            fused_layer1(x, folded_blocks, interpret=args.cpu).astype(jnp.float32)
-        )
-
     # ---- stem cases (375x1024x1 input) ------------------------------------
     cfg = NbmConfig()
     cfg.set_derived()
@@ -113,7 +112,6 @@ def main(argv=None) -> int:
 
     cases = {
         "layer1_xla": (layer1_xla, x1),
-        "layer1_pallas": (layer1_pallas, x1),
         "stem_unfused": (stem_unfused, x0),
         "stem_folded": (stem_folded, x0),
     }
@@ -150,9 +148,8 @@ def main(argv=None) -> int:
         + 2 * (256 * 64 + 9 * 64 * 64 + 64 * 256)
     ) / 1e9
     out["layer1_gflop"] = round(gflop_l1, 1)
-    for k in ("layer1_xla", "layer1_pallas"):
-        if meds[k] > 0:
-            out[k + "_tf_s"] = round(gflop_l1 / meds[k], 1)
+    if meds["layer1_xla"] > 0:
+        out["layer1_xla_tf_s"] = round(gflop_l1 / meds["layer1_xla"], 1)
     print(json.dumps(out), flush=True)
     return 0
 

@@ -212,7 +212,7 @@ class TestTorchCheckpointE2E:
         import torch
 
         from birdsoundclassif_tpu.models.torch_convert import params_to_state_dict
-        from birdsoundclassif_tpu.models.optimize import fold_frozen_bn
+        from birdsoundclassif_tpu.models.optimize import fold_inference
 
         params, cfg = small_model
         sd = {k: torch.tensor(v) for k, v in params_to_state_dict(params, cfg).items()}
@@ -222,8 +222,9 @@ class TestTorchCheckpointE2E:
         torch.save({"checkpoints": sd, "steps": 123}, str(ckpt_dir / "model_chkpt.pt"))
 
         loaded, cfg2 = load_model(str(ckpt_dir))
-        # load_model folds frozen BN; fold the source the same way
-        want = _flatten(fold_frozen_bn(params, cfg))
+        # load_model applies the inference folds (frozen BN + init_conv
+        # stem fold); fold the source the same way
+        want = _flatten(fold_inference(params, cfg))
         got = _flatten(loaded)
         assert set(want) == set(got)
         for k in want:
