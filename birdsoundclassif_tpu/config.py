@@ -203,6 +203,12 @@ class NbmConfig:
                                       # compute_dtype is bfloat16: the model's
                                       # first op casts samples there anyway
                                       # (models/detector.py forward_first_stage)
+    quantize_fpn: bool = False        # opt-in int8 inference for the FPN
+                                      # 3x3 out-convs (ops/qconv.py): per-
+                                      # channel int8 weights folded at load,
+                                      # per-image dynamic activation scales.
+                                      # 2x MXU peak on the forward's largest
+                                      # block; approximate (docs/BENCH.md)
     max_gt_boxes: int = 48            # fixed-shape padding of GT boxes
     merge_nms_max_boxes: int = 8192   # cap for the cross-window merge NMS
     remat_backbone: bool = False      # jax.checkpoint the backbone in training

@@ -35,20 +35,30 @@ def fpn_init(key, channels: Sequence[int], p_cn: int, out_cn: int) -> Dict:
     }
 
 
+def _out_conv(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 pad-1 out-conv; int8 path when the load-time fold quantized the
+    params (optimize.quantize_fpn_out, opt-in)."""
+    if "wq" in params:
+        from ..ops.qconv import qconv2d_3x3
+
+        return qconv2d_3x3(params, x)
+    return fnn.conv2d(params, x, padding=1)
+
+
 def fpn_apply(params: Dict, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """Top-down pathway. Note the reference's out_convs indexing: conv '0'
     is applied to the coarsest level, conv 'n-1' to the finest
     (reference: fpn.py:136-146). Output list is bottom-up (finest first)."""
     p_outs = [fnn.conv2d(params["pt_wise"][str(i)], fm) for i, fm in enumerate(feats)]
     out = p_outs.pop(-1)
-    outs = [fnn.conv2d(params["out_convs"]["0"], out, padding=1)]
+    outs = [_out_conv(params["out_convs"]["0"], out)]
     i = 0
     while p_outs:
         i += 1
         p_out = p_outs.pop(-1)
         up = resize_bilinear_align_corners(out, p_out.shape[1], p_out.shape[2])
         out = up + p_out
-        outs.insert(0, fnn.conv2d(params["out_convs"][str(i)], out, padding=1))
+        outs.insert(0, _out_conv(params["out_convs"][str(i)], out))
     return outs
 
 

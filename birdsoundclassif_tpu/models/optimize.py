@@ -117,7 +117,25 @@ def fold_init_conv(params: Dict, cfg) -> Dict:
     return params
 
 
+def quantize_fpn_out(params: Dict, cfg) -> Dict:
+    """Replace the standard FPN's 3x3 out-conv weights with per-channel
+    int8 + scales (ops/qconv.py). Opt-in via cfg.quantize_fpn; inference
+    only — the quantized leaves are never written back to checkpoints
+    (load_model folds after load). No-op for BiFPN (depthwise-sep convs
+    don't feed the MXU int8 path)."""
+    if not getattr(cfg, "quantize_fpn", False) or cfg.fpn != "fpn":
+        return params
+    from ..ops.qconv import quantize_conv_params
+
+    params = jax.tree.map(lambda x: x, params)  # structural copy
+    out_convs = params["fpn"]["out_convs"]
+    for k in list(out_convs):
+        out_convs[k] = quantize_conv_params(out_convs[k])
+    return params
+
+
 def fold_inference(params: Dict, cfg) -> Dict:
-    """All inference-only pytree folds: frozen/eval BN into convs, then the
-    init_conv into the stem conv. Returns a new tree; do not train it."""
-    return fold_init_conv(fold_frozen_bn(params, cfg), cfg)
+    """All inference-only pytree folds: frozen/eval BN into convs, the
+    init_conv into the stem conv, then optional int8 quantization of the
+    FPN out-convs. Returns a new tree; do not train it."""
+    return quantize_fpn_out(fold_init_conv(fold_frozen_bn(params, cfg), cfg), cfg)
