@@ -32,6 +32,61 @@ sys.path.insert(0, REPO)
 LEVELS = [(188, 512), (94, 256), (47, 128), (24, 64), (12, 32)]
 
 
+def _iou_matrix(a, b):
+    ax1, ay1, ax2, ay2 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    bx1, by1, bx2, by2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    ix = np.maximum(
+        0.0,
+        np.minimum(ax2[:, None], bx2[None]) - np.maximum(ax1[:, None], bx1[None]),
+    )
+    iy = np.maximum(
+        0.0,
+        np.minimum(ay2[:, None], by2[None]) - np.maximum(ay1[:, None], by1[None]),
+    )
+    inter = ix * iy
+    area_a = np.maximum(0.0, ax2 - ax1) * np.maximum(0.0, ay2 - ay1)
+    area_b = np.maximum(0.0, bx2 - bx1) * np.maximum(0.0, by2 - by1)
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def _match_stats(det_a, det_b, iou_thresh=0.5):
+    """Greedy IoU matching of two fixed-slot Detections batches."""
+    n_a = n_b = n_match = 0
+    score_deltas, match_ious = [], []
+    sa = np.asarray(det_a.scores, np.float32)
+    sb = np.asarray(det_b.scores, np.float32)
+    ba = np.asarray(det_a.boxes, np.float32)
+    bb_ = np.asarray(det_b.boxes, np.float32)
+    for i in range(sa.shape[0]):
+        va, vb = sa[i] > 0, sb[i] > 0
+        boxes_a, boxes_b = ba[i][va], bb_[i][vb]
+        s_a, s_b = sa[i][va], sb[i][vb]
+        n_a += len(boxes_a)
+        n_b += len(boxes_b)
+        if not len(boxes_a) or not len(boxes_b):
+            continue
+        iou = _iou_matrix(boxes_a, boxes_b)
+        while True:
+            j = np.unravel_index(np.argmax(iou), iou.shape)
+            if iou[j] < iou_thresh:
+                break
+            n_match += 1
+            match_ious.append(float(iou[j]))
+            score_deltas.append(float(abs(s_a[j[0]] - s_b[j[1]])))
+            iou[j[0], :] = -1
+            iou[:, j[1]] = -1
+    return {
+        "det_n_bf16": n_a,
+        "det_n_int8": n_b,
+        "det_matched": n_match,
+        "det_match_rate": round(n_match / max(n_a, n_b, 1), 4),
+        "det_mean_match_iou": round(float(np.mean(match_ious)), 4)
+        if match_ious else 1.0,
+        "det_max_score_delta": round(float(np.max(score_deltas)), 5)
+        if score_deltas else 0.0,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -107,21 +162,12 @@ def main(argv=None) -> int:
         cases["forward_bf16"] = (lambda x: fwd(params_bf16, cfg, x), wins)
         cases["forward_int8"] = (lambda x: fwd(params_int8, cfg_q, x), wins)
 
-        # detection delta on one batch (host compare)
+        # detection delta on one batch: match the two detection SETS by
+        # IoU (slot indices churn under NMS ties, so per-slot diffs are
+        # meaningless), report match rate + score agreement on matches
         det_a = NbmModel.forward(params_bf16, wins[:4], cfg, 0.3, 0.003)
         det_b = NbmModel.forward(params_int8, wins[:4], cfg_q, 0.3, 0.003)
-        sa = np.asarray(det_a.scores, np.float32)
-        sb = np.asarray(det_b.scores, np.float32)
-        ba = np.asarray(det_a.boxes, np.float32)
-        bb_ = np.asarray(det_b.boxes, np.float32)
-        valid = (sa > 0) | (sb > 0)
-        fwd_stats = {
-            "n_slots_compared": int(valid.sum()),
-            "max_abs_score_delta": round(float(np.abs(sa - sb)[valid].max()), 5)
-            if valid.any() else 0.0,
-            "max_abs_box_delta_px": round(float(np.abs(ba - bb_)[valid].max()), 2)
-            if valid.any() else 0.0,
-        }
+        fwd_stats = _match_stats(det_a, det_b)
 
     probe = jax.jit(lambda: jnp.float32(1.0) + 1.0)
     float(probe())
