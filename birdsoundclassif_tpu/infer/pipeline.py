@@ -130,11 +130,9 @@ def detect_spectrogram(
     return _concat_detections(outs, n)
 
 
-@partial(jax.jit, static_argnames=("cfg", "batch_size", "nms_thresh",
-                                   "min_score", "n_bucket", "data_sharding"))
-def _file_program(params, spec_p, cols, n_real, spectrogram_length, cfg,
-                  batch_size, nms_thresh, min_score, n_bucket,
-                  data_sharding=None):
+def _file_program_impl(params, spec_p, cols, n_real, spectrogram_length, cfg,
+                       batch_size, nms_thresh, min_score, n_bucket,
+                       data_sharding=None):
     """One XLA program for a whole file: window gather -> detector (scanned
     over fixed-size batches) -> cross-window merge. One dispatch and one
     packed readback per file instead of one round trip per window batch
@@ -167,6 +165,16 @@ def _file_program(params, spec_p, cols, n_real, spectrogram_length, cfg,
         fe.w_pix, fe.hop_spectro, cfg.num_classes, nms_thresh,
         cfg.merge_nms_max_boxes,
     )
+
+
+# min_score is static here for cache-key simplicity on the live path; the
+# AOT export (infer/export.py) traces the same impl with min_score as a
+# runtime scalar so a serialized artifact stays serve-time tunable.
+_file_program = partial(
+    jax.jit,
+    static_argnames=("cfg", "batch_size", "nms_thresh", "min_score",
+                     "n_bucket", "data_sharding"),
+)(_file_program_impl)
 
 
 def detect_file_packed(
@@ -400,6 +408,7 @@ def stream_detections(
     sample_rate: int = 44_100,
     data_sharding=None,
     on_frontend=None,
+    detect_fn=None,
 ):
     """Three-way-overlapped per-file detection loop, shared by the
     production sweep (infer/sweep.py) and bench.py so both measure the
@@ -410,7 +419,12 @@ def stream_detections(
     overlap. Sources may be paths or PCM arrays (FilePrefetcher.submit);
     decode failures are skipped (reference behavior: run_detection returns
     None on empty audio). `on_frontend(source, fe_res)` fires before the
-    detector dispatch (e.g. to accumulate audio seconds)."""
+    detector dispatch (e.g. to accumulate audio seconds).
+
+    detect_fn(fe_res) -> packed, when given, replaces the live
+    detect_file_packed dispatch (params/cfg/min_score/batch/data_sharding
+    are then unused) — this is how an AOT-exported program
+    (infer/export.py ExportedDetector) plugs into the same overlap loop."""
     sources = list(sources)
     prefetcher = FilePrefetcher(frontend, sample_rate)
     try:
@@ -427,9 +441,13 @@ def stream_detections(
                 continue
             if on_frontend is not None:
                 on_frontend(src, fe_res)
-            packed = detect_file_packed(
-                params, cfg, fe_res, min_score, batch, data_sharding=data_sharding
-            )
+            if detect_fn is not None:
+                packed = detect_fn(fe_res)
+            else:
+                packed = detect_file_packed(
+                    params, cfg, fe_res, min_score, batch,
+                    data_sharding=data_sharding,
+                )
             if pending is not None:
                 yield pending
             pending = (src, packed)

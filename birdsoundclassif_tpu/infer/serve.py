@@ -23,6 +23,9 @@ Usage:
   python -m birdsoundclassif_tpu.infer.serve --ckpt model_weights \
       --audio_dir DIR [--poll 5] [--settle 2] [--min_score 0.2] \
       [--batch 32] [--out results.jsonl] [--manifest PATH] [--once]
+
+`--exported DIR` serves from an nbm-export AOT artifact instead of a
+checkpoint (no model tracing at startup; see docs/SERVING.md).
 """
 
 from __future__ import annotations
@@ -98,6 +101,7 @@ def serve(
     bird_dict_path: Optional[str] = None,
     once: bool = False,
     on_cycle=None,
+    detect_fn=None,
 ):
     """Run the watch loop. `once=True` drains the current backlog and
     returns (used by tests and cron-style deployments); otherwise loops
@@ -125,7 +129,7 @@ def serve(
             done = set()
             for path, packed in stream_detections(
                 params, cfg, frontend, [p for p, _ in ready], min_score,
-                batch, sample_rate=sr,
+                batch, sample_rate=sr, detect_fn=detect_fn,
             ):
                 output, dropped = packed_to_species_dict(packed, cfg, reverse)
                 n_det = sum(len(e["scores"]) for e in output.values())
@@ -162,6 +166,10 @@ def serve(
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("NBM TPU watch-folder detection service")
     p.add_argument("--ckpt", default="model_weights")
+    p.add_argument("--exported", default=None,
+                   help="serve from an nbm-export artifact directory "
+                        "instead of --ckpt (no model tracing at startup; "
+                        "batch size comes from the artifact)")
     p.add_argument("--audio_dir", required=True)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--min_score", type=float, default=0.2)
@@ -178,12 +186,22 @@ def main(argv=None) -> int:
                    help="drain the current backlog and exit")
     a = p.parse_args(argv)
 
-    from .pipeline import load_model
+    detect_fn = None
+    if a.exported:
+        from .export import ExportedDetector
 
-    params, cfg = load_model(a.ckpt)
+        det = ExportedDetector.load(a.exported)
+        params, cfg = det.params, det.cfg
+        a.batch = det.batch_size
+        detect_fn = lambda fe: det.detect_file_packed(fe, a.min_score)  # noqa: E731
+    else:
+        from .pipeline import load_model
+
+        params, cfg = load_model(a.ckpt)
     stats = serve(params, cfg, a.audio_dir, a.batch, a.min_score, a.poll,
                   a.settle, a.out, a.manifest, a.bird_dict, a.once,
-                  on_cycle=lambda s: print(json.dumps(s), flush=True))
+                  on_cycle=lambda s: print(json.dumps(s), flush=True),
+                  detect_fn=detect_fn)
     print(json.dumps(stats))
     return 0
 

@@ -345,10 +345,17 @@ def main(argv=None) -> int:
     t0 = time.time()
     if not os.path.isdir(os.path.join(data_dir, "positive_files")):
         # ETL is host-side numpy/PNG work but prepare_dataset jits the
-        # STFT on the session backend; force CPU for this phase if asked
-        if args.cpu:
-            import jax
+        # STFT on the session backend; force CPU for this phase if asked.
+        # The ETL runs in the PARENT process, which does not go through
+        # _bootstrap_code — configure the compile cache here too, or the
+        # first file pays the full remote STFT compile (minutes behind
+        # the tunnel).
+        import jax
 
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        if args.cpu:
             jax.config.update("jax_platforms", "cpu")
         rng = np.random.default_rng(42)
         counts = write_hard_corpus(rec_dir, test_dir, neg_dir, rng, names,

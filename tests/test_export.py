@@ -1,0 +1,188 @@
+"""AOT export artifacts (infer/export.py): manifest layout, bucket
+selection, exported-vs-live program agreement, the stream/serve
+integration, and the compile-cache warmer.
+
+The reference has no serving/export story (its model is rebuilt from
+Python source + torch checkpoint on every start, run_detection.py:87-122);
+these tests pin the new framework's deployment contract instead.
+"""
+
+import json
+import os
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+from birdsoundclassif_tpu.config import NbmConfig
+from birdsoundclassif_tpu.infer import pipeline as P
+from birdsoundclassif_tpu.infer.export import (
+    ExportedDetector,
+    _bucket_sizes,
+    export_detector,
+    warm,
+)
+from birdsoundclassif_tpu.models import NbmModel
+from birdsoundclassif_tpu.models.optimize import fold_inference
+
+
+def _write_wav(path, seconds, seed, sr=44100):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    x = 0.4 * np.sin(2 * np.pi * 2500.0 * t) + 0.05 * rng.standard_normal(t.size)
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = NbmConfig()
+    cfg.num_classes = 6
+    cfg.out_fpn_chan = 32
+    cfg.fpn_p_chan = 48
+    cfg.depth_rcnn = 1
+    params = fold_inference(NbmModel.init(jax.random.PRNGKey(0), cfg), cfg)
+    return params, cfg
+
+
+@pytest.fixture(scope="module")
+def artifact(tiny, tmp_path_factory):
+    params, cfg = tiny
+    out = str(tmp_path_factory.mktemp("export_artifact"))
+    manifest = export_detector(params, cfg, out, batch_size=2, max_windows=8,
+                               platforms=("cpu",))
+    return out, manifest
+
+
+def test_bucket_sizes():
+    assert _bucket_sizes(32, 512) == [32, 64, 128, 256, 512]
+    assert _bucket_sizes(32, 40) == [32]
+    assert _bucket_sizes(2, 8) == [2, 4, 8]
+
+
+def test_artifact_layout(artifact):
+    out, manifest = artifact
+    assert manifest["n_buckets"] == [2, 4, 8]
+    assert manifest["platforms"] == ["cpu"]
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+    for name in manifest["programs"].values():
+        assert os.path.getsize(os.path.join(out, name)) > 0
+    assert os.path.isfile(os.path.join(out, "args"))
+    assert os.path.isfile(os.path.join(out, "params.npz"))
+
+
+def test_exported_matches_live(tiny, artifact):
+    """Box-for-box agreement between the deserialized artifact and the
+    live jit program on the same frontend output (min_score is traced in
+    the artifact, static in the live path — outputs must still be
+    identical: the threshold only feeds comparisons)."""
+    params, cfg = tiny
+    out, _ = artifact
+    det = ExportedDetector.load(out)
+
+    rng = np.random.default_rng(1)
+    seconds = 8.0  # ~2662 frames -> 3 windows -> bucket 4
+    pcm = (rng.standard_normal(int(seconds * 44100)) * 2000).astype(np.int16)
+    fe_res = SpectrogramFrontend(cfg.frontend).process(pcm)
+    assert 2 < fe_res.n_windows <= 8
+
+    got = np.asarray(det.detect_file_packed(fe_res, 0.01))
+    want = np.asarray(P.detect_file_packed(params, cfg, fe_res, 0.01, 2))
+    np.testing.assert_array_equal(got, want)
+
+    # loader reproduces cfg and params from the artifact alone
+    assert det.cfg.num_classes == cfg.num_classes
+    assert det.batch_size == 2
+
+
+def test_min_score_is_runtime_tunable(tiny, artifact):
+    params, cfg = tiny
+    out, _ = artifact
+    det = ExportedDetector.load(out)
+    rng = np.random.default_rng(2)
+    pcm = (rng.standard_normal(3 * 44100) * 2000).astype(np.int16)
+    fe_res = SpectrogramFrontend(cfg.frontend).process(pcm)
+    lo = np.asarray(det.detect_file_packed(fe_res, 0.0001))
+    hi = np.asarray(det.detect_file_packed(fe_res, 0.9999))
+    n_lo = int((lo[:, 6] > 0).sum())
+    n_hi = int((hi[:, 6] > 0).sum())
+    assert n_hi <= n_lo  # same program, different threshold
+
+
+def test_file_beyond_max_bucket_raises(tiny, artifact):
+    params, cfg = tiny
+    out, _ = artifact
+    det = ExportedDetector.load(out)
+    fe = cfg.frontend
+    from birdsoundclassif_tpu.audio.frontend import (
+        FrontendResult,
+        window_column_indices,
+    )
+
+    total = fe.w_pix + fe.hop_spectro * 10  # 11 windows -> bucket 16 > 8
+    fe_res = FrontendResult(
+        spec_padded=jnp.zeros((fe.h_pix, total), jnp.float32),
+        window_cols=window_column_indices(total, fe.w_pix, fe.hop_spectro),
+        total_frames=total,
+        s_min=jnp.float32(0.0),
+        s_max=jnp.float32(1.0),
+    )
+    with pytest.raises(ValueError, match="max_windows"):
+        det.detect_file_packed(fe_res, 0.01)
+
+
+def test_stream_and_serve_integration(tiny, artifact, tmp_path):
+    """ExportedDetector.stream drives the same overlap loop; the serve
+    daemon consumes it through detect_fn and writes reference-format
+    .txt outputs."""
+    params, cfg = tiny
+    out, _ = artifact
+    det = ExportedDetector.load(out)
+
+    audio = tmp_path / "station"
+    audio.mkdir()
+    for i in range(2):
+        _write_wav(str(audio / f"rec{i}.wav"), 4.0, seed=i)
+
+    packs = {os.path.basename(p): np.asarray(pk)
+             for p, pk in det.stream([str(audio / "rec0.wav"),
+                                      str(audio / "rec1.wav")], 0.01)}
+    assert set(packs) == {"rec0.wav", "rec1.wav"}
+
+    from birdsoundclassif_tpu.infer.serve import serve
+
+    stats = serve(params, cfg, str(audio), batch=det.batch_size,
+                  min_score=0.01, once=True, settle=0.0,
+                  detect_fn=lambda fe: det.detect_file_packed(fe, 0.01))
+    assert stats["files"] == 2
+    for i in range(2):
+        txt = audio / f"rec{i}.txt"
+        assert txt.is_file()
+        # same packed output as the direct stream
+        live = np.asarray(P.detect_file_packed(
+            params, cfg,
+            SpectrogramFrontend(cfg.frontend).process(
+                _read_pcm(str(audio / f"rec{i}.wav"))), 0.01, det.batch_size))
+        np.testing.assert_array_equal(packs[f"rec{i}.wav"], live)
+
+
+def _read_pcm(path):
+    with wave.open(path, "rb") as w:
+        return np.frombuffer(w.readframes(w.getnframes()), "<i2")
+
+
+def test_warm_compiles_expected_buckets(tiny):
+    params, cfg = tiny
+    shapes = warm(params, cfg, batch_size=2, seconds=(4.0,), min_score=0.01)
+    assert len(shapes) == 1
+    n_bucket, t_pad = shapes[0]
+    assert n_bucket % 2 == 0
+    assert t_pad % P._FRAME_BUCKET == 0
