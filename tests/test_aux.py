@@ -164,8 +164,8 @@ def test_console_script_entry_points_resolve():
     with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
     assert set(scripts) == {
-        "nbm-detect", "nbm-sweep", "nbm-serve", "nbm-train", "nbm-prepare",
-        "nbm-convert", "xeno",
+        "nbm-detect", "nbm-sweep", "nbm-serve", "nbm-export", "nbm-train",
+        "nbm-prepare", "nbm-convert", "xeno",
     }
     for target in scripts.values():
         mod_name, func = target.split(":")
