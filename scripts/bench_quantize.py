@@ -162,13 +162,6 @@ def main(argv=None) -> int:
         cases["forward_bf16"] = (lambda x: fwd(params_bf16, cfg, x), wins)
         cases["forward_int8"] = (lambda x: fwd(params_int8, cfg_q, x), wins)
 
-        # detection delta on one batch: match the two detection SETS by
-        # IoU (slot indices churn under NMS ties, so per-slot diffs are
-        # meaningless), report match rate + score agreement on matches
-        det_a = NbmModel.forward(params_bf16, wins[:4], cfg, 0.3, 0.003)
-        det_b = NbmModel.forward(params_int8, wins[:4], cfg_q, 0.3, 0.003)
-        fwd_stats = _match_stats(det_a, det_b)
-
     probe = jax.jit(lambda: jnp.float32(1.0) + 1.0)
     float(probe())
     meds, rtts = {}, []
@@ -188,6 +181,22 @@ def main(argv=None) -> int:
             deltas.append((t2 - t1) * 1000 - (t1 - t0) * 1000)
         meds[name] = float(np.median(deltas))
         print(f"{name:14s} {meds[name]:8.2f} ms (-interleaved rtt)", flush=True)
+
+    if not args.skip_forward:
+        # detection delta on one batch: match the two detection SETS by
+        # IoU (slot indices churn under NMS ties, so per-slot diffs are
+        # meaningless), report match rate + score agreement on matches.
+        # Jitted (an eager detector forward is thousands of per-op RTTs
+        # through the axon tunnel, minutes per call) and run AFTER the
+        # timing loop so a timeout still leaves the timing numbers.
+        det_a = jax.jit(
+            lambda x: NbmModel.forward(params_bf16, x, cfg, 0.3, 0.003)
+        )(wins[:4])
+        det_b = jax.jit(
+            lambda x: NbmModel.forward(params_int8, x, cfg_q, 0.3, 0.003)
+        )(wins[:4])
+        fwd_stats = _match_stats(det_a, det_b)
+        print(json.dumps(fwd_stats), flush=True)
 
     gflop = sum(2 * B * h * w * 9 * cin * cout for h, w in LEVELS) / 1e9
     out = {
