@@ -196,7 +196,10 @@ def main(argv=None) -> int:
             lambda x: NbmModel.forward(params_int8, x, cfg_q, 0.3, 0.003)
         )(wins[:4])
         fwd_stats = _match_stats(det_a, det_b)
-        print(json.dumps(fwd_stats), flush=True)
+        # human-readable progress only — the single JSON result line below
+        # already merges these keys (repo convention: one JSON line/script)
+        print("det match: " + ", ".join(f"{k}={v}" for k, v in fwd_stats.items()),
+              flush=True)
 
     gflop = sum(2 * B * h * w * 9 * cin * cout for h, w in LEVELS) / 1e9
     out = {
