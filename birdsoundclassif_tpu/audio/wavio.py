@@ -176,6 +176,18 @@ def load_audio_raw(path: str, target_sr: int = 44_100) -> Optional[np.ndarray]:
             if i16 is not None and i16[1] == target_sr:
                 return i16[0]
             x, sr = read_wav(path)
+        elif path.lower().endswith(".mp3"):
+            # main-path mp3 ingestion (reference decodes mp3 via
+            # librosa/audioread, prepare_dataset.py:160-184): in-process
+            # libmpg123 first, ffmpeg subprocess as the fallback
+            from .mp3 import decode_mp3, mpg123_available
+
+            if mpg123_available():
+                stereo, sr = decode_mp3(path)
+                x = (stereo.mean(axis=1) if stereo.shape[1] > 1
+                     else stereo[:, 0])
+            else:
+                x, sr = _decode_via_ffmpeg(path, target_sr)
         else:
             x, sr = _decode_via_ffmpeg(path, target_sr)
         if sr != target_sr:

@@ -228,6 +228,18 @@ class NbmConfig:
                                       # sample banks (device_augment mode);
                                       # pools that fit are indexed on device
                                       # with ~zero per-step wire traffic
+    eval_every: int = 500             # validation + test-AP cadence in steps.
+                                      # The reference hardcodes 500
+                                      # (train.py:361); long runs raise it so
+                                      # the every-eval test sweep doesn't
+                                      # dominate wall time (docs/TRAINING.md)
+    ckpt_every_steps: int = 0         # >0: additionally save the full
+                                      # resumable ckpt_last every N steps. The
+                                      # reference only saves 'last' every 10
+                                      # epochs (train.py:400-401), which on a
+                                      # small corpus can be hours apart —
+                                      # step-based saves bound what a crash
+                                      # costs on long runs (VERDICT r3 weak 3)
     remat_granularity: str = "stages"  # "stages": one checkpoint per resnet
                                       # stage + attn + FPN (backward peak =
                                       # boundaries + one stage); "blocks":

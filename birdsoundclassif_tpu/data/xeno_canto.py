@@ -70,16 +70,24 @@ def _save_seen(out_dir: str, seen: Dict[str, List[str]]) -> None:
 
 def convert_mp3_to_wav(mp3_path: str, sample_rate: int = 44_100,
                        keep_mp3: bool = False) -> Optional[str]:
-    """mono wav via ffmpeg (reference: :89-128)."""
-    ffmpeg = shutil.which("ffmpeg")
-    if ffmpeg is None:
-        print("ffmpeg not available; keeping mp3")
-        return None
+    """mono wav via ffmpeg (reference: :89-128), or the in-process
+    libmpg123 decoder (audio/mp3.py) when the binary is absent."""
     wav_path = os.path.splitext(mp3_path)[0] + ".wav"
-    subprocess.run(
-        [ffmpeg, "-y", "-i", mp3_path, "-ac", "1", "-ar", str(sample_rate), wav_path],
-        check=True, capture_output=True,
-    )
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is not None:
+        subprocess.run(
+            [ffmpeg, "-y", "-i", mp3_path, "-ac", "1", "-ar", str(sample_rate),
+             wav_path],
+            check=True, capture_output=True,
+        )
+    else:
+        from ..audio.mp3 import convert_mp3_to_wav_native, mpg123_available
+
+        if not mpg123_available():
+            print("no mp3 decoder available (ffmpeg/libmpg123); keeping mp3")
+            return None
+        if convert_mp3_to_wav_native(mp3_path, wav_path, sample_rate) is None:
+            return None
     if not keep_mp3:
         os.remove(mp3_path)
     return wav_path

@@ -158,6 +158,58 @@ def compute_AP_scores(
     }
 
 
+def match_detection_sets(out_a: Dict, out_b: Dict, iou_thresh: float = 0.5
+                         ) -> Dict[str, float]:
+    """Greedy IoU matching between two per-species detection dicts (the
+    run_detection output schema). Used for codec-robustness checks (the
+    mp3 twin vs its wav source) and quantization A/Bs, where slot indices
+    churn under NMS ties so per-slot diffs are meaningless."""
+    def flat(out):
+        rows = []
+        for sp, entry in out.items():
+            for b, s in zip(entry["bbox_coord"], entry["scores"]):
+                rows.append((sp, np.asarray(b, np.float64), float(s)))
+        return rows
+
+    a, b = flat(out_a), flat(out_b)
+
+    def greedy(use_class):
+        used, m, ious, sdel = set(), 0, [], []
+        for sp, box, sc in a:
+            best, best_iou = None, iou_thresh
+            for idx, (sp2, box2, sc2) in enumerate(b):
+                if idx in used or (use_class and sp2 != sp):
+                    continue
+                ix = max(0.0, min(box[2], box2[2]) - max(box[0], box2[0]))
+                iy = max(0.0, min(box[3], box2[3]) - max(box[1], box2[1]))
+                inter = ix * iy
+                ua = (box[2] - box[0]) * (box[3] - box[1])
+                ub = (box2[2] - box2[0]) * (box2[3] - box2[1])
+                iou = inter / max(ua + ub - inter, 1e-9)
+                if iou > best_iou:
+                    best, best_iou = idx, iou
+            if best is not None:
+                used.add(best)
+                m += 1
+                ious.append(best_iou)
+                sdel.append(abs(sc - b[best][2]))
+        return m, ious, sdel
+
+    cm, cious, csdel = greedy(True)
+    am, _, _ = greedy(False)
+    denom = max(len(a), len(b), 1)
+    return {
+        "n_a": len(a),
+        "n_b": len(b),
+        "class_match": cm,
+        "agnostic_match": am,
+        "class_rate": round(cm / denom, 4),
+        "agnostic_rate": round(am / denom, 4),
+        "mean_match_iou": round(float(np.mean(cious)), 4) if cious else 1.0,
+        "max_score_delta": round(float(np.max(csdel)), 5) if csdel else 0.0,
+    }
+
+
 # ---------------------------------------------------------------------------
 # 3-second sliding-window protocol (reference: nets_utils.py:580-706)
 # ---------------------------------------------------------------------------

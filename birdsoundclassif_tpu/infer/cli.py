@@ -37,16 +37,21 @@ def main(argv=None) -> int:
 
     params, cfg = load_model(args.model_dirp)
     frontend = SpectrogramFrontend(cfg.frontend)
-    for wav_path in glob.glob(args.audio_dirp + "/*.wav"):
+    # .mp3 accepted alongside .wav on the main path (reference ingests mp3
+    # via librosa/audioread, prepare_dataset.py:160-184; decode here is the
+    # in-process libmpg123 binding, audio/mp3.py)
+    audio_paths = sorted(glob.glob(args.audio_dirp + "/*.wav")
+                         + glob.glob(args.audio_dirp + "/*.mp3"))
+    for wav_path in audio_paths:
         output = run_detection(
             params, cfg, wav_path, bird_dicts_path=bird_dict,
             min_score=args.min_score, bs=args.bs, frontend=frontend,
         )
         if output is None:
             continue
-        with open(wav_path.replace(".wav", ".txt"), "w") as f:
+        with open(os.path.splitext(wav_path)[0] + ".txt", "w") as f:
             f.write(str(output))
-        name = os.path.basename(wav_path).replace(".wav", "")
+        name = os.path.splitext(os.path.basename(wav_path))[0]
         print(f"~~~~~ File {name} done ~~~~~")
     return 0
 

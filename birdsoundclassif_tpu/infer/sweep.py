@@ -57,7 +57,10 @@ def sweep(
         batch = -(-batch // n_dev) * n_dev  # divisible by the mesh
         data_sharding = NamedSharding(mesh, P("data"))
     # multi-host: shard the file list by process
-    files = sorted(glob.glob(os.path.join(audio_dir, "**", "*.wav"), recursive=True))
+    files = sorted(glob.glob(os.path.join(audio_dir, "**", "*.wav"),
+                             recursive=True)
+                   + glob.glob(os.path.join(audio_dir, "**", "*.mp3"),
+                               recursive=True))
     files = files[jax.process_index()::jax.process_count()]
 
     frontend = SpectrogramFrontend(cfg.frontend)
@@ -79,8 +82,8 @@ def sweep(
                 rec["merge_dropped"] = dropped
             writer.write(json.dumps(rec) + "\n")
             writer.flush()
-        # reference CLI behavior: one .txt per wav
-        with open(path.replace(".wav", ".txt"), "w") as f:
+        # reference CLI behavior: one .txt per audio file
+        with open(os.path.splitext(path)[0] + ".txt", "w") as f:
             f.write(str(output))
 
     def on_frontend(path, fe_res):

@@ -345,13 +345,17 @@ def main(argv=None) -> int:
                                 best_val_cls_loss, train_indices, val_indices,
                                 full=True, cfg=cfg)
             steps += 1
+            if cfg.ckpt_every_steps and steps % cfg.ckpt_every_steps == 0:
+                save_checkpoint(save_dir, "last", state, epoch,
+                                best_val_cls_loss, train_indices, val_indices,
+                                full=True, cfg=cfg)
             if steps % 1000 == 0:
                 from .loop import make_lr_schedule
 
                 writer.add_scalar(
                     "Lr", float(make_lr_schedule(cfg.lr, cfg.lr_drop)(steps)), steps
                 )
-            if steps % 500 == 0:
+            if steps % cfg.eval_every == 0:
                 # flush the deferred losses so the validation scalars land
                 # after this step's training scalars in the metrics stream
                 _drain(pending)

