@@ -1,0 +1,440 @@
+"""Attribute the class-scale mAP plateau (VERDICT r3 weak #4 / next #4).
+
+The r3 class-scale runs saturate class-agnostic AP (~0.99 by 6k steps)
+while per-species mAP sits at 0.33-0.37. This tool splits that gap into
+"the corpus is intrinsically ambiguous" vs "the detector's species head is
+leaving accuracy on the table", with four measurements from a trained
+checkpoint + the train_hard corpus:
+
+  1. per-class AP/recall on the test dir (reference per-species protocol,
+     nets_utils.py:454-534) -> which species carry the deficit
+  2. localization/classification split: detections matched to GT boxes
+     CLASS-AGNOSTICALLY (greedy by score, IoU>=0.5) -> of the correctly
+     localized detections, how many carry the right species, and the
+     species confusion matrix of the wrong ones
+  3. oracle discriminability: a small crop classifier trained on
+     ground-truth crops of the TRAIN corpus and evaluated on ground-truth
+     crops of the TEST recordings -> the species-separability ceiling of
+     the corpus under PERFECT localization (data/synthetic.py:46-83
+     designs the bands to overlap, so this ceiling is expected < 1)
+  4. headroom = oracle accuracy - detector classification accuracy on its
+     correctly localized detections
+
+Usage:
+  python scripts/attribute_map.py --ckpt runs/nbm_hard/models/hard_neg_on_40k/ckpt_last \
+      --work_dir runs/nbm_hard [--out ATTRIBUTION_r4.json] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CROP_H, CROP_W = 32, 64
+
+
+# ---------------------------------------------------------------------------
+# detections + per-class AP + confusion
+# ---------------------------------------------------------------------------
+
+
+def collect_outputs(params, cfg, test_dir, min_score, bs):
+    """[(file, out_dict, annots_dict)] over the test recordings (the same
+    streaming path as eval.ap.evaluate_test_dir, keeping per-file data)."""
+    from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+    from birdsoundclassif_tpu.eval.ap import format_txt_annots
+    from birdsoundclassif_tpu.infer.pipeline import (
+        load_bird_dict,
+        packed_to_class_dict,
+        stream_detections,
+    )
+
+    files = sorted(glob.glob(os.path.join(test_dir, "*.wav")))
+    _, reverse = load_bird_dict(None)
+    frontend = SpectrogramFrontend(cfg.frontend)
+    outputs = []
+    for wav_path, packed in stream_detections(
+        params, cfg, frontend, files, min_score, bs,
+        sample_rate=cfg.frontend.sample_rate,
+    ):
+        class_bbox = packed_to_class_dict(np.asarray(packed), cfg)
+        out = {}
+        for idx in range(1, cfg.num_classes + 1):
+            entry = class_bbox[str(idx)]
+            if len(entry["bbox_coord"]) > 0:
+                out[reverse[idx]] = {
+                    "bbox_coord": entry["bbox_coord"].tolist(),
+                    "scores": entry["scores"].tolist(),
+                }
+        outputs.append((os.path.basename(wav_path), out,
+                        format_txt_annots(wav_path.replace(".wav", ".txt"))))
+    return outputs
+
+
+def per_class_ap(outputs):
+    """Per-species AP/recall with the reference math (calculate_ap)."""
+    import pandas as pd
+
+    from birdsoundclassif_tpu.eval.ap import _iou_matrix_np, calculate_ap
+
+    rows = []
+    for i, (_f, output, annots) in enumerate(outputs):
+        for spec in output:
+            if spec in annots:
+                pred = np.asarray(output[spec]["bbox_coord"], np.float64)
+                iou = _iou_matrix_np(
+                    pred, np.asarray(annots[spec], np.float64)).max(axis=1)
+                for v, sc in zip(iou, np.ravel(output[spec]["scores"])):
+                    rows.append((i, spec, float(v), float(sc)))
+            else:
+                for sc in np.ravel(output[spec]["scores"]):
+                    rows.append((i, spec, 0.0, float(sc)))
+        for spec in annots:
+            if spec not in output:
+                for _ in annots[spec]:
+                    rows.append((i, spec, 0.0, 0.0))
+    df = pd.DataFrame(rows, columns=["file_idx", "species", "iou", "scores"])
+    df["type"] = "FP"
+    df.loc[df["iou"] >= 0.5, "type"] = "TP"
+    df.loc[df["scores"] == 0, "type"] = "FN"
+    df = df.sort_values("scores", ascending=False)
+    out = {}
+    for sp, g in df.groupby("species"):
+        ap, rec = calculate_ap(g)
+        out[sp] = {
+            "AP": round(ap, 4),
+            "Rec": round(rec, 4),
+            "n_gt": int(((g["type"] == "TP") | (g["type"] == "FN")).sum()),
+            "n_pred": int((g["type"] != "FN").sum()),
+        }
+    return out
+
+
+def confusion_split(outputs, iou_thresh=0.5, min_score=0.1):
+    """Class-agnostic greedy matching of detections to GT: splits errors
+    into localization misses vs species confusions."""
+    from birdsoundclassif_tpu.eval.ap import _iou_matrix_np
+
+    n_det = n_loc = n_cls_ok = 0
+    n_gt = n_gt_found = 0
+    confusion = {}
+    for _f, output, annots in outputs:
+        gt_boxes, gt_species = [], []
+        for sp, blist in annots.items():
+            for b in blist:
+                gt_boxes.append(b)
+                gt_species.append(sp)
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+        n_gt += len(gt_boxes)
+        dets = []
+        for sp, entry in output.items():
+            for b, s in zip(entry["bbox_coord"], entry["scores"]):
+                if s >= min_score:
+                    dets.append((float(s), sp, b))
+        dets.sort(key=lambda d: -d[0])
+        used = set()
+        for s, sp, b in dets:
+            n_det += 1
+            if len(gt_boxes) == 0:
+                continue
+            iou = _iou_matrix_np(np.asarray([b], np.float64), gt_boxes)[0]
+            order = np.argsort(-iou)
+            for j in order:
+                if iou[j] < iou_thresh:
+                    break
+                if j in used:
+                    continue
+                used.add(int(j))
+                n_loc += 1
+                if gt_species[j] == sp:
+                    n_cls_ok += 1
+                else:
+                    key = f"{gt_species[j]} -> {sp}"
+                    confusion[key] = confusion.get(key, 0) + 1
+                break
+        n_gt_found += len(used)
+    top_conf = sorted(confusion.items(), key=lambda kv: -kv[1])[:20]
+    return {
+        "n_detections": n_det,
+        "n_gt": n_gt,
+        "gt_found_rate": round(n_gt_found / max(1, n_gt), 4),
+        "det_localized_rate": round(n_loc / max(1, n_det), 4),
+        "cls_acc_on_localized": round(n_cls_ok / max(1, n_loc), 4),
+        "n_confused": n_loc - n_cls_ok,
+        "top_confusions": dict(top_conf),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle crop classifier
+# ---------------------------------------------------------------------------
+
+
+def _resize_crop(img, y1, y2, x1, x2):
+    import jax
+
+    crop = img[int(y1):int(y2) + 1, int(x1):int(x2) + 1]
+    if crop.size == 0:
+        return None
+    return np.asarray(jax.image.resize(crop.astype(np.float32),
+                                       (CROP_H, CROP_W), "linear"))
+
+
+def train_crops(data_dir, max_per_class=400):
+    """GT crops from the training window PNGs (+ annotations.csv)."""
+    import pandas as pd
+
+    import imageio.v2 as imageio
+
+    xs, ys = [], []
+    counts = {}
+    pos_root = os.path.join(data_dir, "positive_files")
+    for folder in sorted(os.listdir(pos_root)):
+        csv = os.path.join(pos_root, folder, "annotations.csv")
+        if not os.path.isfile(csv):
+            continue
+        df = pd.read_csv(csv, sep=";")
+        for _, row in df.iterrows():
+            png = os.path.join(pos_root, folder, f"{folder}__{row['index']}.png")
+            if not os.path.isfile(png):
+                continue
+            img = np.asarray(imageio.imread(png), np.float32) / 255.0
+            for (x1, y1, x2, y2), bid in zip(eval(row["coord"]),
+                                             eval(row["bird_id"])):
+                bid = int(bid)
+                if bid == 0 or counts.get(bid, 0) >= max_per_class:
+                    continue
+                c = _resize_crop(img, y1, y2, x1, x2)
+                if c is None:
+                    continue
+                xs.append(c)
+                ys.append(bid)
+                counts[bid] = counts.get(bid, 0) + 1
+    return np.stack(xs), np.asarray(ys, np.int32)
+
+
+def test_crops(cfg, test_dir):
+    """GT crops from the TEST recordings' full-file spectrograms (same
+    row/col conventions as the ETL: y=(f-low)/fa, x=t/dt)."""
+    from birdsoundclassif_tpu.audio.frontend import SpectrogramFrontend
+    from birdsoundclassif_tpu.audio.wavio import load_audio_raw
+    from birdsoundclassif_tpu.eval.ap import format_txt_annots
+    from birdsoundclassif_tpu.infer.pipeline import load_bird_dict
+
+    bird_dict, _ = load_bird_dict(None)
+    frontend = SpectrogramFrontend(cfg.frontend)
+    xs, ys = [], []
+    for wav in sorted(glob.glob(os.path.join(test_dir, "*.wav"))):
+        pcm = load_audio_raw(wav)
+        if pcm is None:
+            continue
+        spec = frontend.process(pcm).spec  # (h, T) in [0, 1], host
+        annots = format_txt_annots(wav.replace(".wav", ".txt"))
+        for sp, blist in annots.items():
+            bid = bird_dict.get(sp)
+            if not bid:
+                continue
+            for (x1, y1, x2, y2) in blist:
+                x2 = min(x2, spec.shape[1] - 1)
+                c = _resize_crop(spec, y1, y2, x1, x2)
+                if c is None:
+                    continue
+                xs.append(c)
+                ys.append(int(bid))
+    return np.stack(xs), np.asarray(ys, np.int32)
+
+
+def fit_oracle(xs, ys, n_classes, steps=3000, batch=128, seed=0,
+               lr=1e-3, val_frac=0.1):
+    """Small CNN crop classifier in plain JAX (3 conv-pool blocks + linear).
+    Returns (apply_fn, params, train_val_acc)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+
+    def conv_init(k, cin, cout):
+        w = jax.random.normal(k, (3, 3, cin, cout)) * np.sqrt(2.0 / (9 * cin))
+        return {"w": w, "b": jnp.zeros(cout)}
+
+    params = {
+        "c1": conv_init(ks[0], 1, 16),
+        "c2": conv_init(ks[1], 16, 32),
+        "c3": conv_init(ks[2], 32, 64),
+        "fc": {"w": jax.random.normal(ks[3], (64, n_classes)) * 0.05,
+               "b": jnp.zeros(n_classes)},
+    }
+
+    def apply(p, x):  # x: (B, H, W)
+        h = x[..., None]
+        for name in ("c1", "c2", "c3"):
+            h = jax.lax.conv_general_dilated(
+                h, p[name]["w"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + p[name]["b"]
+            h = jax.nn.relu(h)
+            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        h = h.mean(axis=(1, 2))
+        return h @ p["fc"]["w"] + p["fc"]["b"]
+
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, opt, x, y):
+        def loss_fn(p):
+            logits = apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx.update(g, opt)
+        return optax.apply_updates(p, updates), opt, loss
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(xs))
+    n_val = max(1, int(val_frac * len(xs)))
+    val_idx, tr_idx = order[:n_val], order[n_val:]
+    xv, yv = jnp.asarray(xs[val_idx]), jnp.asarray(ys[val_idx])
+    for i in range(steps):
+        sel = rng.integers(0, len(tr_idx), batch)
+        xb = jnp.asarray(xs[tr_idx[sel]])
+        yb = jnp.asarray(ys[tr_idx[sel]])
+        params, opt, loss = step(params, opt, xb, yb)
+        if i % 500 == 0:
+            acc = float((jnp.argmax(apply(params, xv), -1) == yv).mean())
+            print(f"oracle step {i}: loss {float(loss):.3f} "
+                  f"val_acc {acc:.3f}", flush=True)
+    val_acc = float((jnp.argmax(apply(params, xv), -1) == yv).mean())
+    return apply, params, val_acc
+
+
+def oracle_eval(apply, params, xs, ys, batch=256):
+    import jax.numpy as jnp
+
+    correct = 0
+    per_class = {}
+    for i in range(0, len(xs), batch):
+        pred = np.asarray(jnp.argmax(apply(params, jnp.asarray(xs[i:i + batch])),
+                                     -1))
+        for p, y in zip(pred, ys[i:i + batch]):
+            per_class.setdefault(int(y), [0, 0])
+            per_class[int(y)][1] += 1
+            if p == y:
+                correct += 1
+                per_class[int(y)][0] += 1
+    return correct / max(1, len(xs)), {
+        k: round(v[0] / v[1], 3) for k, v in sorted(per_class.items())
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--work_dir", default=os.path.join(REPO, "runs", "nbm_hard"))
+    p.add_argument("--out", default="ATTRIBUTION_r4.json")
+    p.add_argument("--min_score", type=float, default=0.02)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--oracle_steps", type=int, default=3000)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--skip_oracle", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from birdsoundclassif_tpu.infer.pipeline import load_model
+
+    work = os.path.abspath(args.work_dir)
+    test_dir = os.path.join(work, "dataset", "test_files", "XC_annots")
+    data_dir = os.path.join(work, "dataset")
+
+    t0 = time.time()
+    params, cfg = load_model(args.ckpt)
+    outputs = collect_outputs(params, cfg, test_dir, args.min_score,
+                              args.batch_size)
+    print(f"detections on {len(outputs)} test files "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    pc = per_class_ap(outputs)
+    aps = [v["AP"] for v in pc.values() if v["AP"] > -1]
+    conf = confusion_split(outputs)
+
+    result = {
+        "what": "mAP plateau attribution: per-class AP + localization/"
+                "classification split + oracle crop-classifier ceiling",
+        "ckpt": args.ckpt,
+        "device": str(jax.devices()[0]),
+        "n_test_files": len(outputs),
+        "mAP": round(float(np.mean(aps)), 4) if aps else 0.0,
+        "per_class_AP_quartiles": [
+            round(float(q), 4) for q in
+            np.percentile(aps, [0, 25, 50, 75, 100])] if aps else [],
+        "worst_10_species": dict(sorted(pc.items(),
+                                        key=lambda kv: kv[1]["AP"])[:10]),
+        "confusion": conf,
+    }
+
+    if not args.skip_oracle:
+        t0 = time.time()
+        xs, ys = train_crops(data_dir)
+        print(f"train crops: {xs.shape} ({time.time() - t0:.0f}s)", flush=True)
+        xt, yt = test_crops(cfg, test_dir)
+        print(f"test crops: {xt.shape}", flush=True)
+        apply, op, val_acc = fit_oracle(xs, ys, cfg.num_classes + 1,
+                                        steps=args.oracle_steps)
+        test_acc, per_cls_acc = oracle_eval(apply, op, xt, yt)
+        result["oracle"] = {
+            "n_train_crops": int(len(xs)),
+            "n_test_crops": int(len(xt)),
+            "crop_size": [CROP_H, CROP_W],
+            "train_val_top1": round(val_acc, 4),
+            "test_top1": round(test_acc, 4),
+            "worst_10_class_acc": dict(sorted(per_cls_acc.items(),
+                                              key=lambda kv: kv[1])[:10]),
+        }
+        det_acc = conf["cls_acc_on_localized"]
+        result["attribution"] = {
+            "oracle_ceiling_top1": round(test_acc, 4),
+            "detector_cls_acc_on_localized": det_acc,
+            "corpus_ambiguity_gap": round(1.0 - test_acc, 4),
+            "detector_headroom_gap": round(test_acc - det_acc, 4),
+            "reading": (
+                "Under perfect localization a dedicated classifier reaches "
+                f"{test_acc:.1%} top-1 on the test-recording ground-truth "
+                f"crops, so ~{1 - test_acc:.1%} of species decisions are "
+                "corpus-intrinsic ambiguity (the generator overlaps bands "
+                "by design, data/synthetic.py:46-83). The detector labels "
+                f"{det_acc:.1%} of its correctly localized boxes right, "
+                f"leaving ~{max(0.0, test_acc - det_acc):.1%} of decisions "
+                "as genuine species-head headroom."
+            ),
+        }
+
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    os.replace(tmp, args.out)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k in ("mAP", "confusion", "attribution")})[:1500])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
