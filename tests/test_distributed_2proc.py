@@ -41,8 +41,15 @@ def _write_wav(path, samples, sr=44100):
 
 @pytest.fixture(scope="module")
 def dist_dataset(tmp_path_factory):
-    """Two annotated recordings -> two positive windows, so a global batch
-    of 2 shards one item per process."""
+    """Two annotated recordings -> positive windows at SMALL (128x256)
+    geometry, so a global batch of 2 shards one item per process.
+
+    Small geometry is load-bearing, not just a speed nicety: gloo's
+    cross-process rendezvous has a hard ~30 s timeout, and at the full
+    375x1024 geometry the two processes' cold XLA compiles (minutes) land
+    far enough apart to blow it. At this size the compile is seconds, so
+    both tasks reach the first collective inside the window."""
+    from birdsoundclassif_tpu.config import FrontendConfig
     from birdsoundclassif_tpu.data.etl import prepare_dataset
 
     rng = np.random.default_rng(7)
@@ -60,7 +67,7 @@ def dist_dataset(tmp_path_factory):
             f"0.80\t1.80\tTurdus merula\n\\\t{f0 - 500:.0f}\t{f0 + 500:.0f}\n"
         )
     out = tmp / "dataset"
-    prepare_dataset(str(rec), str(out))
+    prepare_dataset(str(rec), str(out), cfg=FrontendConfig(w_pix=256, h_pix=128))
     return out
 
 
@@ -71,11 +78,15 @@ def _driver_flags(dataset_dir, save_root, name, extra=()):
         "--model_name", name,
         "--batch_size", "2",
         "--max_steps", "2",
+        "--img_height", "128",
+        "--img_width", "256",
         "--out_fpn_chan", "16",
         "--fpn_p_chan", "24",
         "--depth_rcnn", "1",
         "--pre_nms_topN", "256",
         "--post_nms_topN", "64",
+        "--pre_nms_topN_eval", "64",
+        "--post_nms_topN_eval", "16",
         "--max_gt_boxes", "4",
         "--validation_prop", "0",
         "--first_neg_step", "100",
@@ -98,6 +109,10 @@ def _launch(flags, n_devices=1):
     env = os.environ.copy()
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # both processes live on this host: pin gloo's TCP transport to
+    # loopback (interface auto-detection on this VM intermittently picks
+    # an unroutable address -> "Connect timeout" / KV-store timeouts)
+    env["GLOO_SOCKET_IFNAME"] = "lo"
     return subprocess.Popen([sys.executable, "-c", code, *flags],
                             env=env, cwd=REPO,
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -133,6 +148,10 @@ def test_two_process_data_parallel(dist_dataset, tmp_path):
             ]
             procs.append(_launch(flags))
         outs = [p.communicate(timeout=1500)[0] for p in procs]
+        # persist child logs for post-mortems (pytest truncates asserts)
+        for pid, o in enumerate(outs):
+            with open(f"/tmp/nbm_dist2proc_p{pid}.log", "w") as f:
+                f.write(o)
         return procs, outs
 
     procs, outs = launch_pair()
