@@ -325,6 +325,31 @@ def main(argv=None) -> int:
                 writer.add_scalar(f"Training_Loss/{k}", running[k] / freq, s_idx)
                 running[k] = 0.0
 
+    if jax.process_count() > 1:
+        # Align processes between COMPILATION and first EXECUTION. XLA
+        # compiles take minutes and are not synchronized across hosts,
+        # while the CPU-collectives (gloo) first-rendezvous window is a
+        # hard ~30 s — without this, the faster host times out inside its
+        # first step's gradient psum (observed in
+        # tests/test_distributed_2proc.py). AOT-compile both step variants
+        # here, then meet at a coordination-service barrier (gRPC — no
+        # device collectives involved). On TPU pods this is a harmless
+        # alignment point: compiles go through the same path.
+        st = rng.bit_generator.state
+        probe_batch = shard_batch(next(iter(train_loader)))
+        rng.bit_generator.state = st  # the peek must not perturb batch order
+        sub = jax.random.fold_in(key, 0)
+        for neg in (False, True):
+            train_step.lower(state, probe_batch, sub, negative_sample=neg,
+                             banks=banks).compile()
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            _dist.global_state.client.wait_at_barrier(
+                "nbm_train_step_compiled", 1_200_000)
+        if is_main_process():
+            print("Multi-host compile barrier passed")
+
     if is_main_process():
         print("Start training")
     while steps < cfg.max_steps:
