@@ -98,30 +98,56 @@ def wait_for_chip(cpu: bool, poll_s: float = 45.0):
         time.sleep(poll_s)
 
 
+WATCHDOG_RC = "watchdog"  # sentinel rc for a harness-initiated kill
+
+
 def run_phase(cmd_tail: str, flags, cpu: bool, what: str, max_attempts: int = 12,
-              max_hard_failures: int = 2, on_retry=None):
+              max_hard_failures: int = 2, on_retry=None, watchdog=None):
     """Run `python -c '<bootstrap>; <cmd_tail>' -- *flags` until it exits 0,
     re-probing the chip between attempts. Returns (wall_s_in_phase, attempts).
     Child stdout/stderr are inherited (stream into the harness log).
+    `flags` may be a callable(attempt)->list so retries can perturb flags.
 
     Outage vs deterministic failure: a failed attempt is only worth retrying
     when the backend itself is down (probe fails right after the exit). If
     the chip answers the probe immediately, the failure is the program's own
     (e.g. a compile-time HBM OOM) and will recur identically — those count
-    against `max_hard_failures` so a 12x retry loop can't mask a real bug."""
-    cmd = [sys.executable, "-c", _bootstrap_code(cpu) + "; " + cmd_tail, *flags]
+    against `max_hard_failures` so a 12x retry loop can't mask a real bug.
+
+    `watchdog` (optional) is polled every ~15 s while the child runs; when
+    it returns a truthy reason string the child is killed and the attempt
+    retried without burning a hard-failure credit (used for the bistable-
+    takeoff guard, docs/TRAINING.md 'Takeoff watchpoint')."""
     spent, attempt, hard = 0.0, 0, 0
     while True:
         attempt += 1
+        cmd = [sys.executable, "-c", _bootstrap_code(cpu) + "; " + cmd_tail,
+               *(flags(attempt) if callable(flags) else flags)]
         t0 = time.time()
-        rc = subprocess.call(cmd, cwd=REPO, env=_env())
+        if watchdog is None:
+            rc = subprocess.call(cmd, cwd=REPO, env=_env())
+        else:
+            proc = subprocess.Popen(cmd, cwd=REPO, env=_env())
+            reason = None
+            while True:
+                rc = proc.poll()
+                if rc is not None:
+                    break
+                reason = watchdog()
+                if reason:
+                    _log(f"{what}: watchdog kill — {reason}")
+                    proc.kill()
+                    proc.wait()
+                    rc = WATCHDOG_RC
+                    break
+                time.sleep(15.0)
         spent += time.time() - t0
         if rc == 0:
             return spent, attempt
         _log(f"{what}: attempt {attempt} exited rc={rc}")
         if attempt >= max_attempts:
             raise RuntimeError(f"{what} failed after {max_attempts} attempts")
-        if probe_chip(cpu) is not None:
+        if rc != WATCHDOG_RC and probe_chip(cpu) is not None:
             hard += 1
             _log(f"{what}: backend is up — deterministic failure "
                  f"{hard}/{max_hard_failures}")
@@ -129,10 +155,10 @@ def run_phase(cmd_tail: str, flags, cpu: bool, what: str, max_attempts: int = 12
                 raise RuntimeError(
                     f"{what}: {hard} deterministic failures (backend alive); "
                     "not an outage — aborting instead of retrying")
-        else:
+        elif rc != WATCHDOG_RC:
             wait_for_chip(cpu)
         if on_retry is not None:
-            on_retry()
+            on_retry(rc)
 
 
 def ckpt_steps(save_root, name) -> int:
@@ -150,15 +176,47 @@ def ckpt_steps(save_root, name) -> int:
         return 0
 
 
+def takeoff_reason(metrics_path, start_step,
+                   guard_step=900, threshold=0.58):
+    """Stage-1 saddle detector (docs/TRAINING.md 'Takeoff watchpoint'):
+    returns a kill reason when a FROM-SCRATCH run's latest flushed
+    first_class_loss is still ~ln2 past guard_step — the bad basin never
+    recovers, so waiting is pure chip waste. Resumed arms
+    (start_step > 0) are past the saddle and are never guarded."""
+    if start_step > 0 or not os.path.isfile(metrics_path):
+        return None
+    last = None
+    with open(metrics_path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("tag") == "Training_Loss/first_class_loss":
+                last = (rec["step"], rec["value"])
+    if last is None:
+        return None
+    step, val = last
+    if step >= guard_step and val >= threshold:
+        return (f"first_class_loss {val:.3f} at step {step}: stage-1 stuck "
+                "in the ln2 saddle (bistable takeoff, docs/TRAINING.md)")
+    return None
+
+
 def run_driver(data_dir, save_root, name, steps, batch_size, cpu, extra=()):
-    """Returns (wall_s, attempts, resume_points): resume_points[i] is the
-    ckpt_last step count each attempt started from (0 = from scratch)."""
+    """Returns (wall_s, attempts, resume_points, reseeds): resume_points[i]
+    is the ckpt_last step count each attempt started from (0 = scratch).
+    A takeoff-watchdog kill wipes the arm and re-rolls the seed (the bad
+    basin is deterministic for a given executable+seed); reseeds counts
+    those re-rolls."""
+    import shutil
+
     start_step = ckpt_steps(save_root, name)
     if start_step >= steps:
         _log(f"driver[{name}]: ckpt_last already at step {start_step} >= "
              f"{steps} — arm complete, skipping")
-        return 0.0, 0, [start_step]
-    flags = [
+        return 0.0, 0, [start_step], 0
+    base_flags = [
         "--data_path", data_dir,
         "--save_dir", save_root,
         "--model_name", name,
@@ -169,10 +227,30 @@ def run_driver(data_dir, save_root, name, steps, batch_size, cpu, extra=()):
     tail = ("import sys; from birdsoundclassif_tpu.train import driver; "
             "sys.exit(driver.main(sys.argv[1:]))")
     resume_points = [start_step]
-    spent, attempt = run_phase(tail, flags, cpu, f"driver[{name}]",
-                               on_retry=lambda: resume_points.append(
-                                   ckpt_steps(save_root, name)))
-    return spent, attempt, resume_points
+    state = {"reseed": 0}
+    metrics_path = os.path.join(save_root, name, "metrics.jsonl")
+
+    def flags_for(attempt):
+        fl = list(base_flags)
+        if state["reseed"]:
+            # new seed = new init + batch order + split: a fresh basin draw
+            fl += ["--seed", str(42 + state["reseed"])]
+        return fl
+
+    def watchdog():
+        return takeoff_reason(metrics_path, resume_points[-1])
+
+    def on_retry(rc):
+        if rc == WATCHDOG_RC:
+            state["reseed"] += 1
+            shutil.rmtree(os.path.join(save_root, name), ignore_errors=True)
+            resume_points.append(0)
+        else:
+            resume_points.append(ckpt_steps(save_root, name))
+
+    spent, attempt = run_phase(tail, flags_for, cpu, f"driver[{name}]",
+                               on_retry=on_retry, watchdog=watchdog)
+    return spent, attempt, resume_points, state["reseed"]
 
 
 def fp_rate(params, cfg, neg_dir, min_score=0.02, bs=16):
@@ -552,7 +630,7 @@ def main(argv=None) -> int:
     threading.Thread(target=_refresher, daemon=True).start()
 
     for arm in arms:
-        t, attempts, resume_points = run_driver(
+        t, attempts, resume_points, reseeds = run_driver(
             data_dir, save_root, arm["name"], arm["steps"], args.batch_size,
             args.cpu, common + ["--lr_drop", str(arm["lr_drop"]), *arm["extra"]])
         prior_wall = runs.get(arm["key"], {}).get("train_wall_s", 0.0)
@@ -561,6 +639,8 @@ def main(argv=None) -> int:
                             # step each attempt resumed from (0 = scratch);
                             # nonzero entries prove harness-level resume
                             "resume_points": resume_points,
+                            # arm wipes by the bistable-takeoff watchdog
+                            "takeoff_reseeds": reseeds,
                             "steps": arm["steps"], "lr_drop_k": arm["lr_drop"],
                             "trajectory": trajectory(save_root, arm["name"])}
         print(f"{arm['key']} done in {t:.0f}s ({attempts} attempt(s))",

@@ -182,12 +182,63 @@ def test_harness_arm_resume(tmp_path):
     (ck / "meta.json").write_text(json.dumps({"steps": 5}))
     assert th.ckpt_steps(str(save_root), "armA") == 5
     # arm target already reached -> skipped, resume point recorded
-    wall, attempts, resume_points = th.run_driver(
+    wall, attempts, resume_points, reseeds = th.run_driver(
         "unused_data", str(save_root), "armA", steps=5, batch_size=1, cpu=True)
-    assert (wall, attempts, resume_points) == (0.0, 0, [5])
+    assert (wall, attempts, resume_points, reseeds) == (0.0, 0, [5], 0)
     # torn metadata reads as 0, not a crash
     (ck / "meta.json").write_text("{bad json")
     assert th.ckpt_steps(str(save_root), "armA") == 0
+
+
+def test_takeoff_watchdog(tmp_path):
+    """The bistable-takeoff guard (scripts/train_hard.py): a from-scratch
+    arm whose stage-1 loss is still ~ln2 past the guard step gets killed
+    and re-rolled with a fresh seed; healthy and resumed runs are left
+    alone (docs/TRAINING.md 'Takeoff watchpoint')."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_hard2", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "train_hard.py"))
+    th = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(th)
+
+    m = tmp_path / "metrics.jsonl"
+
+    def write(entries):
+        m.write_text("".join(
+            json.dumps({"tag": "Training_Loss/first_class_loss",
+                        "step": s, "value": v}) + "\n" for s, v in entries))
+
+    # absent file / early steps / healthy value / resumed arm -> no kill
+    assert th.takeoff_reason(str(m), 0) is None
+    write([(500, 0.61)])
+    assert th.takeoff_reason(str(m), 0) is None
+    write([(500, 0.61), (950, 0.34)])
+    assert th.takeoff_reason(str(m), 0) is None
+    write([(500, 0.61), (950, 0.604)])
+    assert "saddle" in th.takeoff_reason(str(m), 0)
+    assert th.takeoff_reason(str(m), 1500) is None  # resumed: never guarded
+
+    # run_phase: a watchdog kill retries with perturbed flags and does NOT
+    # burn a hard-failure credit (no backend probe on watchdog kills)
+    seen = []
+
+    def flags(attempt):
+        seen.append(attempt)
+        return []
+
+    fired = {"n": 0}
+
+    def watchdog():
+        fired["n"] += 1
+        return "test kill"
+
+    with pytest.raises(RuntimeError, match="failed after 2 attempts"):
+        th.run_phase("import time; time.sleep(120)", flags, cpu=True,
+                     what="wdtest", max_attempts=2, watchdog=watchdog)
+    assert seen == [1, 2]
+    assert fired["n"] >= 2
 
 
 def _tiny_cfg():
