@@ -180,13 +180,25 @@ def confusion_split(outputs, iou_thresh=0.5, min_score=0.1):
 
 
 def _resize_crop(img, y1, y2, x1, x2):
-    import jax
-
+    # numpy bilinear: every GT box has a distinct shape, so jax.image.resize
+    # would trigger one XLA compile per crop (minutes over a corpus)
     crop = img[int(y1):int(y2) + 1, int(x1):int(x2) + 1]
     if crop.size == 0:
         return None
-    return np.asarray(jax.image.resize(crop.astype(np.float32),
-                                       (CROP_H, CROP_W), "linear"))
+    c = crop.astype(np.float32)
+    h, w = c.shape
+    yi = np.linspace(0.0, h - 1.0, CROP_H)
+    xi = np.linspace(0.0, w - 1.0, CROP_W)
+    y0 = np.floor(yi).astype(int)
+    x0 = np.floor(xi).astype(int)
+    y1b = np.minimum(y0 + 1, h - 1)
+    x1b = np.minimum(x0 + 1, w - 1)
+    wy = (yi - y0)[:, None]
+    wx = (xi - x0)[None, :]
+    return (c[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+            + c[np.ix_(y0, x1b)] * (1 - wy) * wx
+            + c[np.ix_(y1b, x0)] * wy * (1 - wx)
+            + c[np.ix_(y1b, x1b)] * wy * wx)
 
 
 def train_crops(data_dir, max_per_class=400):
@@ -204,7 +216,9 @@ def train_crops(data_dir, max_per_class=400):
             continue
         df = pd.read_csv(csv, sep=";")
         for _, row in df.iterrows():
-            png = os.path.join(pos_root, folder, f"{folder}__{row['index']}.png")
+            # window PNGs are zero-padded (etl.py:318: format(i, "05d"))
+            png = os.path.join(pos_root, folder,
+                               f"{folder}__{int(row['index']):05d}.png")
             if not os.path.isfile(png):
                 continue
             img = np.asarray(imageio.imread(png), np.float32) / 255.0
@@ -340,7 +354,12 @@ def oracle_eval(apply, params, xs, ys, batch=256):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="trained checkpoint dir (required unless --oracle_only)")
+    p.add_argument("--oracle_only", action="store_true",
+                   help="only the crop-classifier ceiling (no detector, no "
+                        "chip) — results merge into --out; a later full run "
+                        "reuses them instead of retraining the oracle")
     p.add_argument("--work_dir", default=os.path.join(REPO, "runs", "nbm_hard"))
     p.add_argument("--out", default="ATTRIBUTION_r4.json")
     p.add_argument("--min_score", type=float, default=0.02)
@@ -358,39 +377,25 @@ def main(argv=None) -> int:
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    from birdsoundclassif_tpu.infer.pipeline import load_model
+    from birdsoundclassif_tpu.config import NbmConfig
 
     work = os.path.abspath(args.work_dir)
     test_dir = os.path.join(work, "dataset", "test_files", "XC_annots")
     data_dir = os.path.join(work, "dataset")
 
-    t0 = time.time()
-    params, cfg = load_model(args.ckpt)
-    outputs = collect_outputs(params, cfg, test_dir, args.min_score,
-                              args.batch_size)
-    print(f"detections on {len(outputs)} test files "
-          f"({time.time() - t0:.0f}s)", flush=True)
+    # merge mode: a prior --oracle_only pass (CPU, detector-free) is
+    # reused by the later full run instead of retraining the oracle
+    result = {}
+    if os.path.isfile(args.out):
+        try:
+            with open(args.out) as f:
+                result = json.load(f)
+        except json.JSONDecodeError:
+            result = {}
+    result["what"] = ("mAP plateau attribution: per-class AP + localization/"
+                      "classification split + oracle crop-classifier ceiling")
 
-    pc = per_class_ap(outputs)
-    aps = [v["AP"] for v in pc.values() if v["AP"] > -1]
-    conf = confusion_split(outputs)
-
-    result = {
-        "what": "mAP plateau attribution: per-class AP + localization/"
-                "classification split + oracle crop-classifier ceiling",
-        "ckpt": args.ckpt,
-        "device": str(jax.devices()[0]),
-        "n_test_files": len(outputs),
-        "mAP": round(float(np.mean(aps)), 4) if aps else 0.0,
-        "per_class_AP_quartiles": [
-            round(float(q), 4) for q in
-            np.percentile(aps, [0, 25, 50, 75, 100])] if aps else [],
-        "worst_10_species": dict(sorted(pc.items(),
-                                        key=lambda kv: kv[1]["AP"])[:10]),
-        "confusion": conf,
-    }
-
-    if not args.skip_oracle:
+    def run_oracle(cfg):
         t0 = time.time()
         xs, ys = train_crops(data_dir)
         print(f"train crops: {xs.shape} ({time.time() - t0:.0f}s)", flush=True)
@@ -408,9 +413,55 @@ def main(argv=None) -> int:
             "worst_10_class_acc": dict(sorted(per_cls_acc.items(),
                                               key=lambda kv: kv[1])[:10]),
         }
+
+    def flush():
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=2)
+            f.write("\n")
+        os.replace(tmp, args.out)
+
+    if args.oracle_only:
+        run_oracle(NbmConfig())
+        flush()
+        print(json.dumps(result["oracle"]))
+        return 0
+
+    if not args.ckpt:
+        p.error("--ckpt is required unless --oracle_only")
+
+    from birdsoundclassif_tpu.infer.pipeline import load_model
+
+    t0 = time.time()
+    params, cfg = load_model(args.ckpt)
+    outputs = collect_outputs(params, cfg, test_dir, args.min_score,
+                              args.batch_size)
+    print(f"detections on {len(outputs)} test files "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    pc = per_class_ap(outputs)
+    aps = [v["AP"] for v in pc.values() if v["AP"] > -1]
+    conf = confusion_split(outputs)
+    result.update({
+        "ckpt": args.ckpt,
+        "device": str(jax.devices()[0]),
+        "n_test_files": len(outputs),
+        "mAP": round(float(np.mean(aps)), 4) if aps else 0.0,
+        "per_class_AP_quartiles": [
+            round(float(q), 4) for q in
+            np.percentile(aps, [0, 25, 50, 75, 100])] if aps else [],
+        "worst_10_species": dict(sorted(pc.items(),
+                                        key=lambda kv: kv[1]["AP"])[:10]),
+        "confusion": conf,
+    })
+
+    if not args.skip_oracle:
+        if "oracle" not in result:
+            run_oracle(cfg)
+        test_acc = result["oracle"]["test_top1"]
         det_acc = conf["cls_acc_on_localized"]
         result["attribution"] = {
-            "oracle_ceiling_top1": round(test_acc, 4),
+            "oracle_ceiling_top1": test_acc,
             "detector_cls_acc_on_localized": det_acc,
             "corpus_ambiguity_gap": round(1.0 - test_acc, 4),
             "detector_headroom_gap": round(test_acc - det_acc, 4),
@@ -426,11 +477,7 @@ def main(argv=None) -> int:
             ),
         }
 
-    tmp = args.out + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(result, f, indent=2)
-        f.write("\n")
-    os.replace(tmp, args.out)
+    flush()
     print(json.dumps({k: v for k, v in result.items()
                       if k in ("mAP", "confusion", "attribution")})[:1500])
     return 0
