@@ -460,21 +460,42 @@ def main(argv=None) -> int:
             run_oracle(cfg)
         test_acc = result["oracle"]["test_top1"]
         det_acc = conf["cls_acc_on_localized"]
-        result["attribution"] = {
-            "oracle_ceiling_top1": test_acc,
-            "detector_cls_acc_on_localized": det_acc,
-            "corpus_ambiguity_gap": round(1.0 - test_acc, 4),
-            "detector_headroom_gap": round(test_acc - det_acc, 4),
-            "reading": (
+        if det_acc >= test_acc:
+            reading = (
+                "The detector's species head labels "
+                f"{det_acc:.1%} of its correctly localized boxes right — AT "
+                "OR ABOVE the dedicated crop classifier's "
+                f"{test_acc:.1%} top-1 on ground-truth test crops (trained "
+                "on the same corpus's GT crops, "
+                f"{result['oracle']['n_train_crops']} crops over "
+                "150 species). No species-head headroom is detectable: the "
+                "mAP plateau is corpus-intrinsic — overlapping bands by "
+                "design (data/synthetic.py:46-83) plus data scarcity "
+                "(~11 crops/species). Raising mAP on this corpus means more "
+                "training data per species, not a better head. The oracle "
+                "number is itself a data-limited LOWER bound on Bayes "
+                "discriminability (train_val_top1 "
+                f"{result['oracle']['train_val_top1']:.1%} shows the "
+                "capacity is there; the gap to test is generalization from "
+                "11 crops/class)."
+            )
+        else:
+            reading = (
                 "Under perfect localization a dedicated classifier reaches "
                 f"{test_acc:.1%} top-1 on the test-recording ground-truth "
                 f"crops, so ~{1 - test_acc:.1%} of species decisions are "
                 "corpus-intrinsic ambiguity (the generator overlaps bands "
                 "by design, data/synthetic.py:46-83). The detector labels "
                 f"{det_acc:.1%} of its correctly localized boxes right, "
-                f"leaving ~{max(0.0, test_acc - det_acc):.1%} of decisions "
-                "as genuine species-head headroom."
-            ),
+                f"leaving ~{test_acc - det_acc:.1%} of decisions as genuine "
+                "species-head headroom."
+            )
+        result["attribution"] = {
+            "oracle_ceiling_top1": test_acc,
+            "detector_cls_acc_on_localized": det_acc,
+            "corpus_ambiguity_gap": round(1.0 - test_acc, 4),
+            "detector_headroom_gap": round(test_acc - det_acc, 4),
+            "reading": reading,
         }
 
     flush()
