@@ -18,7 +18,16 @@ import numpy as np
 def main():
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    if os.environ.get("BENCH_CPU"):
+        # self-test hook: exercises the full bench path (incl. the
+        # interleaved idle/loaded phases) without the TPU; the axon plugin
+        # overrides JAX_PLATFORMS, so CPU must be forced via jax.config
+        jax.config.update("jax_platforms", "cpu")
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache_cpu")
+    else:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
