@@ -442,6 +442,18 @@ def main(argv=None) -> int:
     pc = per_class_ap(outputs)
     aps = [v["AP"] for v in pc.values() if v["AP"] > -1]
     conf = confusion_split(outputs)
+
+    # protocol ceiling: the SAME AP formula scored on a PERFECT detector
+    # (predictions == ground truth at score 1). The reference's AP is the
+    # sum of 10 recall-bin precisions / 10 (nets_utils.py:513-534), so a
+    # species with k GT boxes can populate at most k distinct recall bins:
+    # per-class AP is capped near k/10 no matter how good the detector is.
+    perfect = [(f, {sp: {"bbox_coord": blist, "scores": [1.0] * len(blist)}
+                    for sp, blist in annots.items()}, annots)
+               for f, _out, annots in outputs]
+    pc_ceiling = per_class_ap(perfect)
+    ceil_aps = [v["AP"] for v in pc_ceiling.values() if v["AP"] > -1]
+    mAP_ceiling = round(float(np.mean(ceil_aps)), 4) if ceil_aps else 0.0
     result.update({
         "ckpt": args.ckpt,
         "device": str(jax.devices()[0]),
@@ -452,6 +464,9 @@ def main(argv=None) -> int:
             np.percentile(aps, [0, 25, 50, 75, 100])] if aps else [],
         "worst_10_species": dict(sorted(pc.items(),
                                         key=lambda kv: kv[1]["AP"])[:10]),
+        "mAP_protocol_ceiling": mAP_ceiling,
+        "mAP_fraction_of_ceiling": round(
+            float(np.mean(aps)) / mAP_ceiling, 4) if ceil_aps and aps else None,
         "confusion": conf,
     })
 
@@ -490,7 +505,20 @@ def main(argv=None) -> int:
                 f"leaving ~{test_acc - det_acc:.1%} of decisions as genuine "
                 "species-head headroom."
             )
+        if result.get("mAP_protocol_ceiling"):
+            frac = result.get("mAP_fraction_of_ceiling")
+            reading = (
+                f"THE DOMINANT TERM IS THE AP PROTOCOL ITSELF: a PERFECT "
+                f"detector scores mAP {result['mAP_protocol_ceiling']:.3f} "
+                "on this test corpus under the reference's 10-recall-bin "
+                "formula (each species has only a handful of GT boxes, so "
+                "at most that many bins can be populated; "
+                "nets_utils.py:513-534). The measured mAP "
+                f"{result['mAP']:.3f} is {frac:.0%} of that ceiling. "
+            ) + reading
         result["attribution"] = {
+            "mAP_protocol_ceiling": result.get("mAP_protocol_ceiling"),
+            "mAP_fraction_of_ceiling": result.get("mAP_fraction_of_ceiling"),
             "oracle_ceiling_top1": test_acc,
             "detector_cls_acc_on_localized": det_acc,
             "corpus_ambiguity_gap": round(1.0 - test_acc, 4),
