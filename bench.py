@@ -176,11 +176,17 @@ def main():
                 "link_mbps": round(link, 1),
             })
 
-    loaded_best = min((p for p in phases if p["phase"] == "loaded"),
-                      key=lambda p: p["elapsed_sec"])
+    # Headline = MEDIAN loaded rep (lower median -> an actual measured rep),
+    # not best-of-N: best-of-N is optimistically biased and would make
+    # cross-round deltas partly measure methodology (ADVICE r4 #4). The
+    # best rep stays in detail for tunnel-weather attribution.
+    loaded_sorted = sorted((p for p in phases if p["phase"] == "loaded"),
+                           key=lambda p: p["elapsed_sec"])
+    loaded_best = loaded_sorted[0]
+    loaded_median = loaded_sorted[(len(loaded_sorted) - 1) // 2]
     idle_best = min((p for p in phases if p["phase"] == "idle"),
                     key=lambda p: p["elapsed_sec"])
-    loaded_elapsed = loaded_best["elapsed_sec"]
+    loaded_elapsed = loaded_median["elapsed_sec"]
     audio_hours_per_sec = (total_audio / loaded_elapsed) / 3600.0
     baseline = 50.0 / 3600.0  # 50x real-time
     print(
@@ -194,9 +200,14 @@ def main():
                     "audio_seconds_total": total_audio,
                     "files": n_files,
                     "batch": batch,
+                    "headline_policy": "median_loaded_rep",
                     "elapsed_sec": loaded_elapsed,
-                    "realtime_factor": loaded_best["realtime_factor"],
-                    "detections": loaded_best["detections"],
+                    "realtime_factor": loaded_median["realtime_factor"],
+                    "detections": loaded_median["detections"],
+                    "best_loaded": {
+                        "elapsed_sec": loaded_best["elapsed_sec"],
+                        "realtime_factor": loaded_best["realtime_factor"],
+                    },
                     "loaded_min_score": loaded_min_score,
                     "idle": {
                         "elapsed_sec": idle_best["elapsed_sec"],
@@ -205,7 +216,7 @@ def main():
                         "min_score": 0.2,
                     },
                     "phases": phases,
-                    "link_mbps": loaded_best["link_mbps"],
+                    "link_mbps": loaded_median["link_mbps"],
                     "wire_codec_ratio": round(wire_ratio, 3),
                     "device": str(jax.devices()[0]),
                 },

@@ -141,20 +141,30 @@ def save_checkpoint(out_dir, label, state, epoch, best_val_cls_loss,
         return
     ckpt_dir = os.path.join(out_dir, f"ckpt_{label}")
     os.makedirs(ckpt_dir, exist_ok=True)
+    # Crash-safe overwrite protocol (ADVICE r4 #2): every file lands via
+    # tmp + os.replace (no torn files), and meta.json — the marker
+    # ckpt_steps/resume gate on — is written LAST, so an interrupted save
+    # leaves either the complete new generation or a readable older one.
     save_params(ckpt_dir, params_host)
     if cfg is not None:
-        cfg.save(os.path.join(ckpt_dir, "args"))
+        cfg_tmp = os.path.join(ckpt_dir, "args.tmp")
+        cfg.save(cfg_tmp)
+        os.replace(cfg_tmp, os.path.join(ckpt_dir, "args"))
+    if full:
+        save_opt_state(os.path.join(ckpt_dir, "opt_state.npz"), opt_host)
+        from ..utils.checkpoint import _atomic_savez
+
+        _atomic_savez(os.path.join(ckpt_dir, "split.npz"),
+                      train_indices=train_indices, val_indices=val_indices)
     meta = {
         "steps": int(state.step),
         "epoch": int(epoch),
         "best_val_cls_loss": float(best_val_cls_loss),
     }
-    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+    meta_tmp = os.path.join(ckpt_dir, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f)
-    if full:
-        save_opt_state(os.path.join(ckpt_dir, "opt_state.npz"), opt_host)
-        np.savez(os.path.join(ckpt_dir, "split.npz"),
-                 train_indices=train_indices, val_indices=val_indices)
+    os.replace(meta_tmp, os.path.join(ckpt_dir, "meta.json"))
 
 
 def load_checkpoint(out_dir, label, tx, cfg):
@@ -184,6 +194,32 @@ def load_checkpoint(out_dir, label, tx, cfg):
     return state, meta, split
 
 
+def build_probe_batch(dataset, indices, cfg):
+    """A shape-representative batch for AOT compilation that provably does
+    NOT touch the dataset's shared rng or batch order.
+
+    The previous implementation peeked `next(iter(train_loader))` and
+    restored the rng state afterwards — but BatchLoader's prefetch producer
+    thread keeps drawing from the SAME generator for up to
+    prefetch_batches+2 more batches AFTER the restore, racing it
+    (ADVICE r4 #1): on multi-host that silently breaks the 'every process
+    holds the same global batch' invariant shard_batch_2d relies on
+    (parallel/tp.py). Here the items are collated directly under a
+    dedicated throwaway generator; no producer thread ever starts, and the
+    shared rng is swapped out for the duration."""
+    from ..data.image_dataset import collate_batch
+
+    probe_rng = np.random.default_rng(0)
+    shared_rng = dataset.rng
+    dataset.rng = probe_rng
+    try:
+        idx = [int(i) for i in np.asarray(indices)[:cfg.batch_size]]
+        items = [dataset[i] for i in idx]
+    finally:
+        dataset.rng = shared_rng
+    return collate_batch(items, cfg.max_gt_boxes)
+
+
 def main(argv=None) -> int:
     parser = build_arg_parser()
     # mesh flags are runtime topology, not model config: kept out of
@@ -201,6 +237,16 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     # multi-host bring-up must precede any other jax use
     initialize_from_flags(args, parser.error)
+    # A persistent compile cache is load-bearing for --distributed: the
+    # post-barrier first step re-traces and re-compiles (lower().compile()
+    # does not seed jit's dispatch cache), and only this cache keeps that
+    # fast enough for the ~30 s gloo rendezvous window (ADVICE r4 #3).
+    # Respect an explicitly configured dir; default one under save_dir.
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.abspath(os.environ.get("NBM_JAX_CACHE", ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     cfg = NbmConfig(**{f.name: getattr(args, f.name)
                        for f in dataclasses.fields(NbmConfig)})
 
@@ -236,7 +282,9 @@ def main(argv=None) -> int:
 
     resume_label = "last"
     epoch, best_val_cls_loss = 0, 99.0
-    if os.path.isdir(os.path.join(save_dir, "ckpt_last")):
+    # meta.json is the save protocol's commit marker (written last): a dir
+    # without it is an interrupted first save — train from scratch
+    if os.path.isfile(os.path.join(save_dir, "ckpt_last", "meta.json")):
         state, meta, split = load_checkpoint(save_dir, resume_label, tx, cfg)
         epoch = meta["epoch"]
         best_val_cls_loss = meta["best_val_cls_loss"]
@@ -335,18 +383,26 @@ def main(argv=None) -> int:
         # here, then meet at a coordination-service barrier (gRPC — no
         # device collectives involved). On TPU pods this is a harmless
         # alignment point: compiles go through the same path.
-        st = rng.bit_generator.state
-        probe_batch = shard_batch(next(iter(train_loader)))
-        rng.bit_generator.state = st  # the peek must not perturb batch order
+        probe_batch = shard_batch(
+            build_probe_batch(dataset, train_indices, cfg))
         sub = jax.random.fold_in(key, 0)
         for neg in (False, True):
             train_step.lower(state, probe_batch, sub, negative_sample=neg,
                              banks=banks).compile()
-        from jax._src import distributed as _dist
+        # private coordination-service handle (no public barrier API yet);
+        # degrade to no-barrier on a JAX upgrade instead of crashing
+        client = None
+        try:
+            from jax._src import distributed as _dist
 
-        if _dist.global_state.client is not None:
-            _dist.global_state.client.wait_at_barrier(
-                "nbm_train_step_compiled", 1_200_000)
+            client = getattr(_dist.global_state, "client", None)
+        except Exception:
+            pass
+        if client is not None:
+            client.wait_at_barrier("nbm_train_step_compiled", 1_200_000)
+        elif is_main_process():
+            print("WARNING: no coordination-service barrier available; "
+                  "multi-host compile skew may hit the gloo rendezvous window")
         if is_main_process():
             print("Multi-host compile barrier passed")
 

@@ -46,10 +46,20 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return root
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez via a sibling tmp file + os.replace so a crash or SIGKILL
+    mid-save can never leave a torn .npz behind (the step-cadence ckpt_last
+    overwrite is exactly the crash-resilience path; a torn params.npz there
+    makes auto-resume raise and aborts the arm — ADVICE r4 #2)."""
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to other suffixes
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
 def save_params(model_dir: str, params: Any) -> str:
     os.makedirs(model_dir, exist_ok=True)
     path = os.path.join(model_dir, "params.npz")
-    np.savez(path, **_flatten(params))
+    _atomic_savez(path, **_flatten(params))
     return path
 
 
@@ -84,7 +94,7 @@ OPT_STATE_VERSION = 1
 def save_opt_state(path: str, opt_state: Any) -> str:
     leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
     arrs = {f"leaf_{i:06d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(path, opt_state_version=np.int64(OPT_STATE_VERSION), **arrs)
+    _atomic_savez(path, opt_state_version=np.int64(OPT_STATE_VERSION), **arrs)
     return path
 
 

@@ -633,14 +633,20 @@ def main(argv=None) -> int:
         t, attempts, resume_points, reseeds = run_driver(
             data_dir, save_root, arm["name"], arm["steps"], args.batch_size,
             args.cpu, common + ["--lr_drop", str(arm["lr_drop"]), *arm["extra"]])
-        prior_wall = runs.get(arm["key"], {}).get("train_wall_s", 0.0)
-        runs[arm["key"]] = {"train_wall_s": round(prior_wall + t, 1),
-                            "attempts": attempts,
+        # ACCUMULATE across invocations — an arm-skip relaunch must not
+        # clobber earlier accounting (it zeroed r4's train_wall_s/attempts,
+        # VERDICT r4 weak #5)
+        prior = runs.get(arm["key"], {})
+        runs[arm["key"]] = {"train_wall_s": round(
+                                prior.get("train_wall_s", 0.0) + t, 1),
+                            "attempts": prior.get("attempts", 0) + attempts,
                             # step each attempt resumed from (0 = scratch);
                             # nonzero entries prove harness-level resume
-                            "resume_points": resume_points,
+                            "resume_points": (prior.get("resume_points", [])
+                                              + resume_points),
                             # arm wipes by the bistable-takeoff watchdog
-                            "takeoff_reseeds": reseeds,
+                            "takeoff_reseeds": (prior.get("takeoff_reseeds", 0)
+                                                + reseeds),
                             "steps": arm["steps"], "lr_drop_k": arm["lr_drop"],
                             "trajectory": trajectory(save_root, arm["name"])}
         print(f"{arm['key']} done in {t:.0f}s ({attempts} attempt(s))",

@@ -123,3 +123,24 @@ class TestBirdnetFormat:
         assert len(df) == 2
         assert set(df["species"]) == {"Turdus merula", "Erithacus rubecula"}
         assert (df["file_idx"] == "f1").all()
+
+
+def test_ap_ceiling_vs_gt_count():
+    """The 10-recall-bin protocol caps a PERFECT detector's AP at
+    min(1, n_gt/10): with n_gt ground-truth boxes only n_gt distinct recall
+    values (j/n_gt) exist, so at most n_gt of the 10 bins are occupied and
+    empty bins contribute zero (reference: nets_utils.py:513-534 pd.cut
+    binning). This is why the r4 test corpus (4 GT/species) capped mAP at
+    exactly 0.400 (ATTRIBUTION_r4.json) and why the r5 rebuild
+    (scripts/rebuild_eval_corpus.py) gives every tested species >=10 GT."""
+    from birdsoundclassif_tpu.eval.ap import compute_AP_scores
+
+    def perfect(n_gt):
+        boxes = [[i * 100, 10, i * 100 + 50, 60] for i in range(n_gt)]
+        out = {"Sp": {"bbox_coord": boxes, "scores": [0.9] * n_gt}}
+        return compute_AP_scores([(out, {"Sp": boxes})])
+
+    for n_gt, ceiling in ((4, 0.4), (8, 0.8), (10, 1.0), (12, 1.0)):
+        m = perfect(n_gt)
+        assert m["mAP"] == pytest.approx(ceiling), (n_gt, m)
+        assert m["Rec"] == 1.0
