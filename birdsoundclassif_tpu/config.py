@@ -203,6 +203,20 @@ class NbmConfig:
                                       # compute_dtype is bfloat16: the model's
                                       # first op casts samples there anyway
                                       # (models/detector.py forward_first_stage)
+    rpn_head_f32: bool = False        # run the stage-1 RPN head (depthwise
+                                      # conv + BN + 1x1 heads) in float32
+                                      # regardless of compute_dtype. The r4
+                                      # campaign found training takeoff is
+                                      # BISTABLE under compile-level bf16
+                                      # reduction-order noise, and the dead
+                                      # basin lives exactly here: the RPN
+                                      # head behind its BN (running var up
+                                      # to 2e4) emitting ~constant 0.5
+                                      # objectness (docs/BENCH.md r4). The
+                                      # head is <1% of step FLOPs; f32
+                                      # removes the numerical knife-edge.
+                                      # On-chip multi-seed A/B:
+                                      # docs/BENCH.md r5
     quantize_fpn: bool = False        # opt-in int8 inference for the FPN
                                       # 3x3 out-convs (ops/qconv.py): per-
                                       # channel int8 weights folded at load,

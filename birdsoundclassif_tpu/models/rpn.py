@@ -59,6 +59,12 @@ def rpn_apply(
     cls_scores (B, h, w, L*A, 2) softmaxed and bbox_reg (B, h, w, L*A, 4)."""
     th, tw = cfg.top_size
     a = cfg.n_ratios
+    if getattr(cfg, "rpn_head_f32", False):
+        # mixed precision follows the activation dtype (models/nn.py conv2d):
+        # one cast here runs the whole stage-1 head — depthwise conv, BN,
+        # objectness/box 1x1s — in f32. This removes the bf16 knife-edge
+        # behind the bistable training takeoff (config.py rpn_head_f32).
+        feats = [fm.astype(jnp.float32) for fm in feats]
     conv_out = []
     for i, fm in enumerate(feats):
         stride = cfg.anchor_stride / (2 ** (i + 1))
