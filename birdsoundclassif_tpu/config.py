@@ -203,6 +203,15 @@ class NbmConfig:
                                       # compute_dtype is bfloat16: the model's
                                       # first op casts samples there anyway
                                       # (models/detector.py forward_first_stage)
+    ablate_roi_pe: bool = False       # eval diagnostic: zero the RoI
+                                      # positional encoding before the RCNN
+                                      # head. The PE encodes ABSOLUTE box
+                                      # coordinates (reference
+                                      # layers.py:482-489); on a corpus
+                                      # where species have fixed bands it
+                                      # lets the head classify by frequency
+                                      # position alone — this knob measures
+                                      # that leak (ATTRIBUTION_r5.json)
     rpn_head_f32: bool = False        # run the stage-1 RPN head (depthwise
                                       # conv + BN + 1x1 heads) in float32
                                       # regardless of compute_dtype. The r4

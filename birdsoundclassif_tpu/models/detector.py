@@ -202,6 +202,8 @@ class NbmModel:
         # training=False gives the reference's model.eval() head regime for
         # validation losses (running-stat BN, dropout off; train.py:362)
         pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
+        if getattr(cfg, "ablate_roi_pe", False):
+            pe = jnp.zeros_like(pe)
         return _second_stage_heads(params, pooled, pe, cfg, training, bn_updates)
 
     @staticmethod
@@ -215,6 +217,11 @@ class NbmModel:
         min_score: float = 0.5,
     ) -> Detections:
         pooled, pe, _ = roi_pool(rois, list(fpn_out), cfg)
+        if getattr(cfg, "ablate_roi_pe", False):
+            # diagnostic (config.py ablate_roi_pe): how much of the species
+            # head's accuracy is read off the absolute-position RoI PE
+            # rather than call morphology (ATTRIBUTION_r5.json)
+            pe = jnp.zeros_like(pe)
         bbox_reg, bbox_classes = _second_stage_heads(params, pooled, pe, cfg, False, None)
         return fast_rcnn_inference(
             bbox_reg, bbox_classes, rois, roi_valid, cfg, nms_thresh, min_score

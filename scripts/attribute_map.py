@@ -202,12 +202,16 @@ def _resize_crop(img, y1, y2, x1, x2):
 
 
 def train_crops(data_dir, max_per_class=400):
-    """GT crops from the training window PNGs (+ annotations.csv)."""
+    """GT crops from the training window PNGs (+ annotations.csv).
+    -> (crops, labels, pos) where pos rows are the crop's ABSOLUTE
+    frequency extent [y1/h, y2/h] — the same information the detector's
+    RoI positional encoding carries (reference layers.py:482-489), used by
+    the leak-controlled fair-oracle comparison (ATTRIBUTION_r5.json)."""
     import pandas as pd
 
     import imageio.v2 as imageio
 
-    xs, ys = [], []
+    xs, ys, pos = [], [], []
     counts = {}
     pos_root = os.path.join(data_dir, "positive_files")
     for folder in sorted(os.listdir(pos_root)):
@@ -232,8 +236,9 @@ def train_crops(data_dir, max_per_class=400):
                     continue
                 xs.append(c)
                 ys.append(bid)
+                pos.append((y1 / img.shape[0], y2 / img.shape[0]))
                 counts[bid] = counts.get(bid, 0) + 1
-    return np.stack(xs), np.asarray(ys, np.int32)
+    return np.stack(xs), np.asarray(ys, np.int32), np.asarray(pos, np.float32)
 
 
 def test_crops(cfg, test_dir):
@@ -246,7 +251,7 @@ def test_crops(cfg, test_dir):
 
     bird_dict, _ = load_bird_dict(None)
     frontend = SpectrogramFrontend(cfg.frontend)
-    xs, ys = [], []
+    xs, ys, pos = [], [], []
     for wav in sorted(glob.glob(os.path.join(test_dir, "*.wav"))):
         pcm = load_audio_raw(wav)
         if pcm is None:
@@ -264,19 +269,28 @@ def test_crops(cfg, test_dir):
                     continue
                 xs.append(c)
                 ys.append(int(bid))
-    return np.stack(xs), np.asarray(ys, np.int32)
+                pos.append((y1 / spec.shape[0], y2 / spec.shape[0]))
+    return np.stack(xs), np.asarray(ys, np.int32), np.asarray(pos, np.float32)
 
 
 def fit_oracle(xs, ys, n_classes, steps=3000, batch=128, seed=0,
-               lr=1e-3, val_frac=0.1):
+               lr=1e-3, val_frac=0.1, pos=None):
     """Small CNN crop classifier in plain JAX (3 conv-pool blocks + linear).
-    Returns (apply_fn, params, train_val_acc)."""
+    Returns (apply_fn, params, train_val_acc).
+
+    `pos` (optional, (N, P) float32): extra per-crop features concatenated
+    to the pooled representation before the linear head — used to hand the
+    oracle the crop's ABSOLUTE frequency band, the same information budget
+    the detector head gets from its RoI positional encoding (the r4
+    comparison withheld it, VERDICT r4 weak #3). apply takes (p, x, pos)
+    when fitted with pos, (p, x) otherwise."""
     import jax
     import jax.numpy as jnp
     import optax
 
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 8)
+    n_pos = 0 if pos is None else int(pos.shape[1])
 
     def conv_init(k, cin, cout):
         w = jax.random.normal(k, (3, 3, cin, cout)) * np.sqrt(2.0 / (9 * cin))
@@ -286,11 +300,11 @@ def fit_oracle(xs, ys, n_classes, steps=3000, batch=128, seed=0,
         "c1": conv_init(ks[0], 1, 16),
         "c2": conv_init(ks[1], 16, 32),
         "c3": conv_init(ks[2], 32, 64),
-        "fc": {"w": jax.random.normal(ks[3], (64, n_classes)) * 0.05,
+        "fc": {"w": jax.random.normal(ks[3], (64 + n_pos, n_classes)) * 0.05,
                "b": jnp.zeros(n_classes)},
     }
 
-    def apply(p, x):  # x: (B, H, W)
+    def apply(p, x, pf=None):  # x: (B, H, W); pf: (B, n_pos)
         h = x[..., None]
         for name in ("c1", "c2", "c3"):
             h = jax.lax.conv_general_dilated(
@@ -300,15 +314,17 @@ def fit_oracle(xs, ys, n_classes, steps=3000, batch=128, seed=0,
             h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         h = h.mean(axis=(1, 2))
+        if n_pos:
+            h = jnp.concatenate([h, pf], axis=-1)
         return h @ p["fc"]["w"] + p["fc"]["b"]
 
     tx = optax.adam(lr)
     opt = tx.init(params)
 
     @jax.jit
-    def step(p, opt, x, y):
+    def step(p, opt, x, y, pf):
         def loss_fn(p):
-            logits = apply(p, x)
+            logits = apply(p, x, pf)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, y).mean()
         loss, g = jax.value_and_grad(loss_fn)(p)
@@ -320,27 +336,30 @@ def fit_oracle(xs, ys, n_classes, steps=3000, batch=128, seed=0,
     n_val = max(1, int(val_frac * len(xs)))
     val_idx, tr_idx = order[:n_val], order[n_val:]
     xv, yv = jnp.asarray(xs[val_idx]), jnp.asarray(ys[val_idx])
+    pv = jnp.asarray(pos[val_idx]) if n_pos else None
     for i in range(steps):
         sel = rng.integers(0, len(tr_idx), batch)
         xb = jnp.asarray(xs[tr_idx[sel]])
         yb = jnp.asarray(ys[tr_idx[sel]])
-        params, opt, loss = step(params, opt, xb, yb)
+        pb = jnp.asarray(pos[tr_idx[sel]]) if n_pos else jnp.zeros((batch, 0))
+        params, opt, loss = step(params, opt, xb, yb, pb)
         if i % 500 == 0:
-            acc = float((jnp.argmax(apply(params, xv), -1) == yv).mean())
+            acc = float((jnp.argmax(apply(params, xv, pv), -1) == yv).mean())
             print(f"oracle step {i}: loss {float(loss):.3f} "
                   f"val_acc {acc:.3f}", flush=True)
-    val_acc = float((jnp.argmax(apply(params, xv), -1) == yv).mean())
+    val_acc = float((jnp.argmax(apply(params, xv, pv), -1) == yv).mean())
     return apply, params, val_acc
 
 
-def oracle_eval(apply, params, xs, ys, batch=256):
+def oracle_eval(apply, params, xs, ys, batch=256, pos=None):
     import jax.numpy as jnp
 
     correct = 0
     per_class = {}
     for i in range(0, len(xs), batch):
-        pred = np.asarray(jnp.argmax(apply(params, jnp.asarray(xs[i:i + batch])),
-                                     -1))
+        pf = jnp.asarray(pos[i:i + batch]) if pos is not None else None
+        pred = np.asarray(jnp.argmax(
+            apply(params, jnp.asarray(xs[i:i + batch]), pf), -1))
         for p, y in zip(pred, ys[i:i + batch]):
             per_class.setdefault(int(y), [0, 0])
             per_class[int(y)][1] += 1
@@ -397,9 +416,9 @@ def main(argv=None) -> int:
 
     def run_oracle(cfg):
         t0 = time.time()
-        xs, ys = train_crops(data_dir)
+        xs, ys, _ = train_crops(data_dir)
         print(f"train crops: {xs.shape} ({time.time() - t0:.0f}s)", flush=True)
-        xt, yt = test_crops(cfg, test_dir)
+        xt, yt, _ = test_crops(cfg, test_dir)
         print(f"test crops: {xt.shape}", flush=True)
         apply, op, val_acc = fit_oracle(xs, ys, cfg.num_classes + 1,
                                         steps=args.oracle_steps)
