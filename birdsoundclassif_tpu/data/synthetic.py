@@ -204,10 +204,17 @@ def synth_hard_recording(
     noise: float = 0.02,
     interference_p: float = 0.5,
     sr: int = SAMPLE_RATE,
+    randomize_fc: bool = False,
 ) -> Tuple[np.ndarray, List[Tuple[float, float, float, float, str]]]:
     """One recording of a species_bank entry: noise floor + calls with
     per-call amplitude/duration jitter + (p=interference_p) one overlaid
-    interference bed. -> (samples, annots)."""
+    interference bed. -> (samples, annots).
+
+    randomize_fc=True draws a FRESH center frequency per call (log-uniform
+    over the species_bank range) so species identity is carried by call
+    morphology alone — the leak-controlled corpus arm of
+    ATTRIBUTION_r5.json (the default corpus gives every species a fixed
+    band, which the detector's absolute-position RoI PE can read)."""
     n = int(duration_s * sr)
     sig = noise * rng.standard_normal(n)
     if rng.random() < interference_p:
@@ -224,7 +231,11 @@ def synth_hard_recording(
         if all(abs(c - s) > guard for s in starts):
             starts.append(c)
     for t0 in sorted(starts):
-        call, f_lo, f_hi = synth_call(spec, rng, sr)
+        call_spec = spec
+        if randomize_fc:
+            fc = float(np.exp(rng.uniform(np.log(1200.0), np.log(10_000.0))))
+            call_spec = {**spec, "fc": fc}
+        call, f_lo, f_hi = synth_call(call_spec, rng, sr)
         amp = float(rng.uniform(0.25, 0.5))
         i0 = int(t0 * sr)
         seg = min(len(call), n - i0)
@@ -246,12 +257,19 @@ def write_hard_corpus(
     test_duration_s: float = 12.0,
     calls_per_file: int = 5,
     n_negative_files: int = 20,
+    randomize_fc: bool = False,
+    test_files_per_species: int = 1,
 ) -> Dict[str, int]:
     """The class-scale training corpus (VERDICT r2 next #3): one
     species_bank signature per name (overlapping bands, morphology-coded
     classes), train recordings under rec_dir, test pairs under test_dir
     (every `test_every`-th species), and annotation-free interference-only
-    recordings under neg_dir for false-positive-rate measurement."""
+    recordings under neg_dir for false-positive-rate measurement.
+
+    randomize_fc (see synth_hard_recording) makes the corpus
+    morphology-only; test_files_per_species >= 3 (with calls_per_file 4)
+    keeps the AP protocol's perfect-detector ceiling at 1.0
+    (tests/test_eval_ap.py::test_ap_ceiling_vs_gt_count)."""
     os.makedirs(rec_dir, exist_ok=True)
     os.makedirs(test_dir, exist_ok=True)
     os.makedirs(neg_dir, exist_ok=True)
@@ -262,15 +280,17 @@ def write_hard_corpus(
         tag = spec["name"].lower().replace(" ", "_")
         for _ in range(files_per_species):
             sig, annots = synth_hard_recording(
-                spec, train_duration_s, calls_per_file, rng)
+                spec, train_duration_s, calls_per_file, rng,
+                randomize_fc=randomize_fc)
             base = os.path.join(rec_dir, f"{tag}#XC{uid}")
             write_wav(base + ".wav", sig)
             write_annots(base + ".txt", annots)
             counts["train_files"] += 1
             uid += 1
-        if si % test_every == 0:
+        for _ in range(test_files_per_species if si % test_every == 0 else 0):
             sig, annots = synth_hard_recording(
-                spec, test_duration_s, calls_per_file, rng)
+                spec, test_duration_s, calls_per_file, rng,
+                randomize_fc=randomize_fc)
             base = os.path.join(test_dir, f"{tag}#XC{uid}")
             write_wav(base + ".wav", sig)
             write_annots(base + ".txt", annots)
