@@ -49,7 +49,11 @@ def fcl_trajectory(metrics_path):
             except json.JSONDecodeError:
                 continue
             if rec.get("tag") == "Training_Loss/first_class_loss":
-                out.append((rec["step"], rec["value"]))
+                # the step-0 flush averages a single step over the 50-step
+                # window (driver _drain), so its value is ~loss/50 — not a
+                # real loss reading; drop it or every arm "takes off" at 0
+                if rec["step"] > 0:
+                    out.append((rec["step"], rec["value"]))
     return out
 
 
@@ -82,11 +86,27 @@ def main(argv=None) -> int:
     os.makedirs(save_root, exist_ok=True)
 
     seeds = [int(s) for s in args.seeds.split(",")]
-    arms = [(variant, seed) for variant in ("control", "f32") for seed in seeds]
+    arms = ([("control", s) for s in seeds]
+            + [("f32", s) for s in seeds]
+            # single accum-4 control anchor: checks the control basin
+            # persists at the f32 arms' microbatch (see arm_flags)
+            + [("control_a4", seeds[0])])
 
     # campaign config (scripts/train_hard.py `common`), eval disabled during
     # the run (eval_every > steps) — mAP is scored once on the final ckpt
     def arm_flags(variant, seed, name):
+        # f32 arms need a smaller microbatch: the campaign config sits
+        # within ~0.5 GB of the v5e HBM wall at microbatch 8
+        # (docs/BENCH.md "Memory wall, part 2"), and the f32 casts of the
+        # FPN features + their gradients pushed f32_s42 into a measured
+        # ResourceExhausted. Microbatch 4 (accum 4) halves activation
+        # memory. The accum asymmetry vs the control arms is recorded in
+        # the artifact; grad-accum loss normalization semantics are
+        # documented (train/loop.py _accum_grads) and a control_a4 anchor
+        # arm (run separately) checks the basin behavior is accum-robust.
+        accum = {"control": max(2, args.batch_size // 8),
+                 "f32": max(4, args.batch_size // 4),
+                 "control_a4": max(4, args.batch_size // 4)}[variant]
         fl = [
             "--data_path", data_dir,
             "--save_dir", save_root,
@@ -99,7 +119,7 @@ def main(argv=None) -> int:
             "--device_augment", "true",
             "--remat_backbone", "true",
             "--remat_granularity", "stages",
-            "--grad_accum_steps", str(max(2, args.batch_size // 8)),
+            "--grad_accum_steps", str(accum),
             "--eval_every", str(10 * args.steps),
             "--validation_prop", "0",
         ]
@@ -155,15 +175,17 @@ def main(argv=None) -> int:
         else:
             t, attempts = 0.0, 0
         traj = fcl_trajectory(os.path.join(arm_dir, "metrics.jsonl"))
+        prior = result["arms"].get(name, {})
         rec = {
+            **prior,
             "variant": variant,
             "seed": seed,
             "takeoff_step": takeoff_step(traj, args.takeoff_thresh),
             "fcl_first": round(traj[0][1], 4) if traj else None,
             "fcl_final": round(traj[-1][1], 4) if traj else None,
             "fcl_min": round(min(v for _, v in traj), 4) if traj else None,
-            "train_wall_s": round(t, 1),
-            "attempts": attempts,
+            "train_wall_s": round(prior.get("train_wall_s", 0.0) + t, 1),
+            "attempts": prior.get("attempts", 0) + attempts,
         }
         result["arms"][name] = rec
         _log(f"{name}: takeoff={rec['takeoff_step']} "
@@ -201,8 +223,9 @@ def main(argv=None) -> int:
 
     # summary table
     summary = {}
-    for variant in ("control", "f32"):
-        rows = [result["arms"].get(f"{variant}_s{s}", {}) for s in seeds]
+    for variant in ("control", "f32", "control_a4"):
+        vseeds = seeds if variant != "control_a4" else seeds[:1]
+        rows = [result["arms"].get(f"{variant}_s{s}", {}) for s in vseeds]
         offs = [r.get("takeoff_step") for r in rows]
         summary[variant] = {
             "takeoff_rate": f"{sum(1 for o in offs if o is not None)}/{len(rows)}",

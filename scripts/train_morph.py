@@ -130,18 +130,27 @@ def main(argv=None) -> int:
     from birdsoundclassif_tpu.config import NbmConfig
     from birdsoundclassif_tpu.infer.pipeline import load_model
 
+    def flush(entry):
+        result = {}
+        if os.path.isfile(args.out):
+            try:
+                with open(args.out) as f:
+                    result = json.load(f)
+            except json.JSONDecodeError:
+                pass
+        result["morphology_only_arm"] = entry
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=2)
+            f.write("\n")
+        os.replace(tmp, args.out)
+
     ckpt = os.path.join(save_root, "morph", "ckpt_last")
     params, cfg = load_model(ckpt)
     outputs = collect_outputs(params, cfg, test_dir, 0.02, args.batch_size)
     base_conf = confusion_split(outputs)
     base_pc = per_class_ap(outputs)
     base_maps = [v["AP"] for v in base_pc.values() if v["AP"] > -1]
-
-    cfg_abl = NbmConfig.from_json(cfg.to_json())
-    cfg_abl.ablate_roi_pe = True
-    outputs_abl = collect_outputs(params, cfg_abl, test_dir, 0.02,
-                                  args.batch_size)
-    abl_conf = confusion_split(outputs_abl)
 
     # trajectory from metrics
     traj = {}
@@ -168,24 +177,20 @@ def main(argv=None) -> int:
         "mAP_final": round(float(np.mean(base_maps)), 4) if base_maps else 0.0,
         "cls_acc_on_localized": base_conf["cls_acc_on_localized"],
         "gt_found_rate": base_conf["gt_found_rate"],
-        "cls_acc_on_localized_pe_ablated": abl_conf["cls_acc_on_localized"],
-        "pe_ablation_drop": round(
-            base_conf["cls_acc_on_localized"]
-            - abl_conf["cls_acc_on_localized"], 4),
     }
-    result = {}
-    if os.path.isfile(args.out):
-        try:
-            with open(args.out) as f:
-                result = json.load(f)
-        except json.JSONDecodeError:
-            pass
-    result["morphology_only_arm"] = entry
-    tmp = args.out + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(result, f, indent=2)
-        f.write("\n")
-    os.replace(tmp, args.out)
+    flush(entry)  # baseline lands even if the ablation pass is cut short
+    print(json.dumps(entry, indent=2), flush=True)
+
+    cfg_abl = NbmConfig.from_json(cfg.to_json())
+    cfg_abl.ablate_roi_pe = True
+    outputs_abl = collect_outputs(params, cfg_abl, test_dir, 0.02,
+                                  args.batch_size)
+    abl_conf = confusion_split(outputs_abl)
+    entry["cls_acc_on_localized_pe_ablated"] = abl_conf["cls_acc_on_localized"]
+    entry["pe_ablation_drop"] = round(
+        base_conf["cls_acc_on_localized"]
+        - abl_conf["cls_acc_on_localized"], 4)
+    flush(entry)
     print(json.dumps(entry, indent=2))
     return 0
 
