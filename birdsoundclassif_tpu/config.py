@@ -212,7 +212,7 @@ class NbmConfig:
                                       # lets the head classify by frequency
                                       # position alone — this knob measures
                                       # that leak (ATTRIBUTION_r5.json)
-    rpn_head_f32: bool = False        # run the stage-1 RPN head (depthwise
+    rpn_head_f32: bool = True         # run the stage-1 RPN head (depthwise
                                       # conv + BN + 1x1 heads) in float32
                                       # regardless of compute_dtype. The r4
                                       # campaign found training takeoff is
@@ -224,8 +224,21 @@ class NbmConfig:
                                       # objectness (docs/BENCH.md r4). The
                                       # head is <1% of step FLOPs; f32
                                       # removes the numerical knife-edge.
-                                      # On-chip multi-seed A/B:
-                                      # docs/BENCH.md r5
+                                      # DEFAULT TRUE since the r5 on-chip
+                                      # 4-seed A/B (AB_TAKEOFF_r5.json /
+                                      # docs/BENCH.md r5): bf16 controls
+                                      # sat FLAT in the saddle 3/4 seeds;
+                                      # f32 arms descended in 4/4 (3/4
+                                      # crossed fcl 0.3 within 1.5k steps).
+                                      # Memory note: the f32 activation
+                                      # casts need microbatch <= 4 at the
+                                      # flagship 375x1024/batch-16 config
+                                      # (grad_accum_steps >= 4) — a
+                                      # measured ResourceExhausted at
+                                      # microbatch 8 (docs/BENCH.md r5).
+                                      # The takeoff watchdog in
+                                      # scripts/train_hard.py remains as
+                                      # belt-and-suspenders.
     quantize_fpn: bool = False        # opt-in int8 inference for the FPN
                                       # 3x3 out-convs (ops/qconv.py): per-
                                       # channel int8 weights folded at load,
@@ -320,6 +333,11 @@ class NbmConfig:
         raw = json.loads(text)
         names = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in names and k not in _DERIVED_FIELDS}
+        # rpn_head_f32 flipped default False -> True in r5. A saved config
+        # predating the field was trained with the bf16 head; absence must
+        # keep meaning bf16 so old checkpoints evaluate exactly as trained
+        # (reference-style args dumps predate it too).
+        kwargs.setdefault("rpn_head_f32", False)
         return cls(**kwargs)
 
     @classmethod

@@ -87,10 +87,13 @@ def main(argv=None) -> int:
 
     seeds = [int(s) for s in args.seeds.split(",")]
     arms = ([("control", s) for s in seeds]
-            + [("f32", s) for s in seeds]
-            # single accum-4 control anchor: checks the control basin
-            # persists at the f32 arms' microbatch (see arm_flags)
-            + [("control_a4", seeds[0])])
+            + [("f32", s) for s in seeds])
+    if os.environ.get("AB_CONTROL_A4"):
+        # optional accum-4 control anchor: checks the control basin
+        # persists at the f32 arms' microbatch (see arm_flags). Costs a
+        # fresh ~15 min executable compile; the r5 round ran out of chip
+        # budget for it — the accum asymmetry is recorded as a caveat.
+        arms += [("control_a4", seeds[0])]
 
     # campaign config (scripts/train_hard.py `common`), eval disabled during
     # the run (eval_every > steps) — mAP is scored once on the final ckpt
@@ -225,7 +228,10 @@ def main(argv=None) -> int:
     summary = {}
     for variant in ("control", "f32", "control_a4"):
         vseeds = seeds if variant != "control_a4" else seeds[:1]
-        rows = [result["arms"].get(f"{variant}_s{s}", {}) for s in vseeds]
+        rows = [r for s in vseeds
+                if (r := result["arms"].get(f"{variant}_s{s}"))]
+        if not rows:
+            continue  # variant not run (e.g. the optional control_a4)
         offs = [r.get("takeoff_step") for r in rows]
         summary[variant] = {
             "takeoff_rate": f"{sum(1 for o in offs if o is not None)}/{len(rows)}",

@@ -553,11 +553,15 @@ def main(argv=None) -> int:
     # double deterministic ResourceExhausted in this harness; accum 2
     # fits AND runs faster (348 ms/step measured vs the 388 ms bench).
     # --driver_args can still override every knob.
+    # microbatch 4 (accum >= 4) since rpn_head_f32 became the default: its
+    # f32 activation casts OOM the old microbatch-8 budget (docs/BENCH.md
+    # r5 A/B note; the original microbatch-8 accounting is in "Memory
+    # wall, part 2")
     common = ["--batch_transfer_dtype", args.batch_transfer_dtype,
               "--device_augment", "true",
               "--remat_backbone", "true",
               "--remat_granularity", "stages",
-              "--grad_accum_steps", str(max(2, args.batch_size // 8)),
+              "--grad_accum_steps", str(max(4, args.batch_size // 4)),
               *shlex.split(args.driver_args)]
     if args.arms:
         arms = parse_arms(args.arms, args.steps, args.lr_drop)

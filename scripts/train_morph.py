@@ -101,7 +101,9 @@ def main(argv=None) -> int:
              "--device_augment", "true",
              "--remat_backbone", "true",
              "--remat_granularity", "stages",
-             "--grad_accum_steps", str(max(2, args.batch_size // 8)),
+             # microbatch 4: the f32 RPN head's activation casts OOM the
+             # campaign's microbatch-8 config (docs/BENCH.md r5 A/B note)
+             "--grad_accum_steps", str(max(4, args.batch_size // 4)),
              "--eval_every", "2000",
              "--ckpt_every_steps", "2000",
              "--rpn_head_f32", args.rpn_head_f32,

@@ -15,8 +15,10 @@ from birdsoundclassif_tpu.models.rpn import rpn_apply, rpn_init
 
 @pytest.fixture(scope="module")
 def tiny_cfg():
+    # rpn_head_f32 defaults True since the r5 A/B; this fixture is the
+    # explicit bf16-head baseline the tests compare against
     return NbmConfig(img_height=128, img_width=256, out_fpn_chan=16,
-                     fpn_p_chan=24, batch_size=1)
+                     fpn_p_chan=24, batch_size=1, rpn_head_f32=False)
 
 
 def _feats(cfg, rng):
