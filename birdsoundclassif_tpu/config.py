@@ -212,6 +212,15 @@ class NbmConfig:
                                       # lets the head classify by frequency
                                       # position alone — this knob measures
                                       # that leak (ATTRIBUTION_r5.json)
+    neutral_roi_pe: bool = False      # eval diagnostic: every RoI's PE is
+                                      # computed for a FIXED mid-height
+                                      # frequency band (own time extent) —
+                                      # in-distribution magnitudes, zero
+                                      # frequency-position information.
+                                      # The sharper version of
+                                      # ablate_roi_pe (zeroing collapses
+                                      # the FiLM head outright); see
+                                      # ATTRIBUTION_r5.json
     rpn_head_f32: bool = True         # run the stage-1 RPN head (depthwise
                                       # conv + BN + 1x1 heads) in float32
                                       # regardless of compute_dtype. The r4

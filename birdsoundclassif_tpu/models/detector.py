@@ -222,6 +222,20 @@ class NbmModel:
             # head's accuracy is read off the absolute-position RoI PE
             # rather than call morphology (ATTRIBUTION_r5.json)
             pe = jnp.zeros_like(pe)
+        if getattr(cfg, "neutral_roi_pe", False):
+            # positionally-uninformative but IN-DISTRIBUTION PE: every RoI
+            # gets the PE of a fixed mid-spectrogram band at its own time
+            # extent (zeroing collapses the FiLM-modulated head outright —
+            # measured in ATTRIBUTION_r5.json — so zero-PE can't separate
+            # "needs position" from "out of distribution")
+            y_mid = cfg.img_height // 2
+            fixed = jnp.stack([
+                rois[..., 0],
+                jnp.full_like(rois[..., 1], y_mid - 25.0),
+                rois[..., 2],
+                jnp.full_like(rois[..., 3], y_mid + 25.0),
+            ], axis=-1)
+            _, pe, _ = roi_pool(fixed, list(fpn_out), cfg)
         bbox_reg, bbox_classes = _second_stage_heads(params, pooled, pe, cfg, False, None)
         return fast_rcnn_inference(
             bbox_reg, bbox_classes, rois, roi_valid, cfg, nms_thresh, min_score

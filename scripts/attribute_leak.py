@@ -114,38 +114,50 @@ def main(argv=None) -> int:
         print(f"baseline: {base_conf['cls_acc_on_localized']:.4f} cls acc "
               f"({time.time() - t0:.0f}s)", flush=True)
 
-        cfg_abl = NbmConfig.from_json(cfg.to_json())
-        cfg_abl.ablate_roi_pe = True
-        t0 = time.time()
-        outputs_abl = collect_outputs(params, cfg_abl, test_dir,
-                                      args.min_score, args.batch_size)
-        abl_conf = confusion_split(outputs_abl)
-        abl_pc = per_class_ap(outputs_abl)
-        abl_maps = [v["AP"] for v in abl_pc.values() if v["AP"] > -1]
-        print(f"PE-ablated: {abl_conf['cls_acc_on_localized']:.4f} cls acc "
-              f"({time.time() - t0:.0f}s)", flush=True)
+        def ablated_pass(flag):
+            cfg_abl = NbmConfig.from_json(cfg.to_json())
+            setattr(cfg_abl, flag, True)
+            t0 = time.time()
+            outputs_abl = collect_outputs(params, cfg_abl, test_dir,
+                                          args.min_score, args.batch_size)
+            conf = confusion_split(outputs_abl)
+            pc = per_class_ap(outputs_abl)
+            maps = [v["AP"] for v in pc.values() if v["AP"] > -1]
+            print(f"{flag}: {conf['cls_acc_on_localized']:.4f} cls acc, "
+                  f"loc rate {conf['det_localized_rate']:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+            return {
+                "cls_acc_on_localized": conf["cls_acc_on_localized"],
+                "det_localized_rate": conf["det_localized_rate"],
+                "gt_found_rate": conf["gt_found_rate"],
+                "mAP": round(float(np.mean(maps)), 4) if maps else 0.0,
+            }
 
+        zero = ablated_pass("ablate_roi_pe")
+        neutral = ablated_pass("neutral_roi_pe")
         result["detector"] = {
             "baseline": {
                 "cls_acc_on_localized": base_conf["cls_acc_on_localized"],
                 "det_localized_rate": base_conf["det_localized_rate"],
                 "gt_found_rate": base_conf["gt_found_rate"],
-                "mAP": round(float(np.mean(base_maps)), 4),
+                "mAP": round(float(np.mean(base_maps)), 4) if base_maps else 0.0,
             },
-            "roi_pe_ablated": {
-                "cls_acc_on_localized": abl_conf["cls_acc_on_localized"],
-                "det_localized_rate": abl_conf["det_localized_rate"],
-                "gt_found_rate": abl_conf["gt_found_rate"],
-                "mAP": round(float(np.mean(abl_maps)), 4),
+            "roi_pe_zeroed": {
+                **zero,
+                "note": ("zero-PE collapses the FiLM-modulated head "
+                         "outright (zero detections) — out of "
+                         "distribution, not an information ablation"),
             },
-            "cls_acc_drop_from_pe_ablation": round(
+            "roi_pe_neutral_band": {
+                **neutral,
+                "note": ("every RoI's PE computed for a fixed mid-height "
+                         "band at its own time extent: in-distribution "
+                         "magnitudes, zero frequency-position information "
+                         "— the clean ablation"),
+            },
+            "cls_acc_drop_from_neutral_pe": round(
                 base_conf["cls_acc_on_localized"]
-                - abl_conf["cls_acc_on_localized"], 4),
-            "caveat": (
-                "zero-PE is out-of-distribution for a head TRAINED with "
-                "PE (the FiLM modulation shifts every conv block), so the "
-                "drop UPPER-bounds the accuracy that requires position; "
-                "retained accuracy is a lower bound on morphology use"),
+                - neutral["cls_acc_on_localized"], 4),
         }
         flush()
 
@@ -183,40 +195,42 @@ def main(argv=None) -> int:
 
     det = result.get("detector")
     orc = result.get("oracle_fair")
-    if det and orc:
+    if det and orc and "roi_pe_neutral_band" in det:
         base = det["baseline"]["cls_acc_on_localized"]
-        abl = det["roi_pe_ablated"]["cls_acc_on_localized"]
+        neu = det["roi_pe_neutral_band"]["cls_acc_on_localized"]
+        neu_loc = det["roi_pe_neutral_band"]["det_localized_rate"]
         fair = orc["crop_plus_absolute_band"]["test_top1"]
         plain = orc["plain"]["test_top1"]
         result["attribution"] = {
             "detector_cls_acc": base,
-            "detector_cls_acc_no_pe": abl,
+            "detector_cls_acc_neutral_pe": neu,
             "oracle_plain": plain,
             "oracle_fair": fair,
+            "fair_headroom_gap": round(fair - base, 4),
             "reading": (
-                f"Of the detector's {base:.1%} species accuracy on localized "
-                f"boxes, {base - abl:.1%} (upper bound) disappears when the "
-                "absolute-position RoI PE is zeroed — on this corpus, where "
-                "each species has a fixed center frequency, the head IS "
-                "substantially reading position, confirming the r4 "
-                "confound. The budget-matched oracle confirms it from the "
-                f"other side: adding the absolute frequency band lifts the "
-                f"crop classifier from {plain:.1%} to {fair:.1%} "
-                f"(+{fair - plain:.1%}) — position alone carries most of "
-                "the species identity here. CONSEQUENCE for "
-                "ATTRIBUTION_r4.json: its 98%-vs-27.6% comparison "
-                "overstated the head's morphology discrimination; the "
-                "honest statement is that the head exploits whatever "
-                "separability the corpus offers (position first, "
-                "morphology second), and the corpus — not the head — "
-                "bounds mAP. On real recordings (species spanning wide, "
-                "overlapping ranges) the positional shortcut would not "
-                "exist; transfer claims must rest on morphology-coded "
-                "evidence, which this corpus cannot fully provide."
+                f"Detector species accuracy on localized boxes: {base:.1%} "
+                f"with its RoI PE, {neu:.1%} when every RoI's PE is "
+                "replaced by a fixed mid-height band (in-distribution, "
+                "zero frequency-position information; localization rate "
+                f"under the swap: {neu_loc:.1%}). Zeroing the PE outright "
+                "collapses the head to zero detections — the FiLM "
+                "modulation makes the head structurally dependent on a "
+                "plausible PE, which is itself evidence the PE pathway is "
+                "load-bearing. The budget-matched oracle adds the other "
+                f"side: the absolute frequency band lifts the crop "
+                f"classifier {plain:.1%} -> {fair:.1%} (+{fair - plain:.1%}). "
+                "CONSEQUENCE for ATTRIBUTION_r4.json: its 98%-vs-27.6% "
+                "comparison conflated information budgets; the corrected "
+                "statement is that on this corpus — species at fixed "
+                "center frequencies — the head's near-perfect species "
+                "accuracy rests substantially on reading absolute "
+                "position through the RoI PE, and the r4 'no species-head "
+                "headroom' conclusion cannot be extended to real "
+                "recordings where no such positional shortcut exists. "
+                "Morphology-only evidence requires the randomize_fc "
+                "corpus arm (scripts/train_morph.py)."
             ),
         }
-        # compare fair oracle vs detector under the SAME budget
-        result["attribution"]["fair_headroom_gap"] = round(fair - base, 4)
     flush()
     print(json.dumps(result.get("attribution", result), indent=2)[:2000])
     return 0
