@@ -37,6 +37,7 @@ from scripts.train_hard import _log, run_driver, wait_for_chip  # noqa: E402
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10_000)
+    p.add_argument("--eval_every", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr_drop", type=int, default=8)
     p.add_argument("--n_species", type=int, default=150)
@@ -104,8 +105,8 @@ def main(argv=None) -> int:
              # microbatch 4: the f32 RPN head's activation casts OOM the
              # campaign's microbatch-8 config (docs/BENCH.md r5 A/B note)
              "--grad_accum_steps", str(max(4, args.batch_size // 4)),
-             "--eval_every", "2000",
-             "--ckpt_every_steps", "2000",
+             "--eval_every", str(args.eval_every),
+             "--ckpt_every_steps", str(args.eval_every),
              "--rpn_head_f32", args.rpn_head_f32,
              "--seed", str(args.seed)]
     wall, attempts, resume_points, reseeds = run_driver(
